@@ -1,0 +1,201 @@
+"""Top-level extraction kernel: one Arrow batch in, one Arrow batch out.
+
+``extract_batch`` is the single entry point shared by the oracle (which calls
+it on a whole pandas frame single-threaded) and the Spark pipeline (which
+calls it per Arrow batch inside ``mapInPandas``).  Stages:
+
+1. payload resolution  — tool turns carry ``{"name":..., "output":...}``
+   JSON in the ``tool`` column; the output string is the payload
+   (C22 in SURVEY §2.8 — new JSON surface for transcripts).
+2. payload classification — layout JSON / HTML / plain text
+   (the engine-choice analog of the reference's tesseract-vs-Google split).
+3. structure parse -> content blocks
+   - HTML: tag-tree segmentation + text/link-density boilerplate strip
+   - layout JSON: page->block->line->span reading-order parse
+   - plain: paragraph split on blank lines
+4. cleanup chain (ordered, vectorized)   — kernel.cleanup
+5. document gate (reject wrong-type docs) — port of ``is_american_nft``
+   (NFT_OCR.py:959-978): >=3 lines each containing >=2 vitamin terms.
+6. field extraction + conflict/absence   — kernel.fields
+7. token spans + counters                — vectorized explode pipeline.
+
+Output columns (stable schema, see ``OUTPUT_SCHEMA`` in pipeline.py):
+    conv_id, turn_idx, extracted_text, spans_json, fields_json,
+    n_blocks, n_lines, n_tokens, n_fields, status
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+
+from ocr_spark.kernel.cleanup import cleanup_series
+from ocr_spark.kernel.fields import extract_fields_series
+from ocr_spark.kernel.html import html_extract, looks_like_html
+from ocr_spark.kernel.layout import layout_extract, looks_like_layout
+
+_PARA_SPLIT_RE = re.compile(r"\n\s*\n")
+_VITAMIN_LINE_RE = re.compile(r"(?:\bvitamin [a-z]\b.*){2,}")
+_REJECT_MIN_LINES = 3
+
+_ESC_BACKSLASH = re.compile(r"\\")
+_ESC_QUOTE = re.compile(r'"')
+
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty"
+STATUS_REJECTED = "rejected"
+STATUS_TOOL_ERROR = "tool_parse_error"
+
+OUTPUT_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "extracted_text",
+    "spans_json",
+    "fields_json",
+    "n_blocks",
+    "n_lines",
+    "n_tokens",
+    "n_fields",
+    "status",
+]
+
+
+def _tool_output(raw: str) -> str | None:
+    """Parse a tool-turn JSON payload; None signals a parse failure."""
+    try:
+        doc = json.loads(raw)
+    except (ValueError, TypeError):
+        return None
+    if isinstance(doc, dict):
+        out = doc.get("output", "")
+        return out if isinstance(out, str) else json.dumps(out, sort_keys=True)
+    return str(doc)
+
+
+def _spans_and_counts(
+    extracted: pd.Series,
+) -> tuple[pd.Series, pd.Series, pd.Series, pd.Series]:
+    """Vectorized token-span assembly from extracted text.
+
+    Span = (block_id, line_id, pos, token) over the canonical separators
+    (blocks: blank line, lines: newline, tokens: single space) — the
+    transcript analog of the reference's (block_num, line, dist) triple.
+    Returns (spans_json, n_blocks, n_lines, n_tokens) aligned to input index.
+    """
+    idx = extracted.index
+    nonempty = extracted[extracted != ""]
+    if nonempty.empty:
+        z = pd.Series(0, index=idx, dtype="int64")
+        return pd.Series("[]", index=idx), z, z.copy(), z.copy()
+
+    blocks = nonempty.str.split("\n\n").explode()
+    bframe = blocks.to_frame("btext")
+    bframe["row"] = bframe.index
+    bframe = bframe.reset_index(drop=True)
+    bframe["block_id"] = bframe.groupby("row", sort=False).cumcount()
+
+    lines = bframe.set_index(["row", "block_id"])["btext"].str.split("\n").explode()
+    lframe = lines.to_frame("ltext").reset_index()
+    lframe["line_id"] = lframe.groupby(["row", "block_id"], sort=False).cumcount()
+
+    toks = lframe.set_index(["row", "block_id", "line_id"])["ltext"].str.split(" ").explode()
+    tframe = toks.to_frame("tok").reset_index()
+    tframe = tframe[tframe["tok"].fillna("") != ""]
+    tframe["pos"] = tframe.groupby(["row", "block_id", "line_id"], sort=False).cumcount()
+
+    esc = tframe["tok"].str.replace(_ESC_BACKSLASH, r"\\\\", regex=True)
+    esc = esc.str.replace(_ESC_QUOTE, r"\"", regex=True)
+    item = (
+        '{"b":' + tframe["block_id"].astype(str)
+        + ',"l":' + tframe["line_id"].astype(str)
+        + ',"p":' + tframe["pos"].astype(str)
+        + ',"t":"' + esc + '"}'
+    )
+    tframe = tframe.assign(item=item)
+    g = tframe.groupby("row", sort=False)
+    spans_json = ("[" + g["item"].agg(",".join) + "]").reindex(idx, fill_value="[]")
+    n_tokens = g["item"].size().reindex(idx, fill_value=0).astype("int64")
+    n_blocks = (
+        bframe.groupby("row", sort=False)["block_id"].size().reindex(idx, fill_value=0).astype("int64")
+    )
+    n_lines = (
+        lframe.groupby("row", sort=False)["line_id"].size().reindex(idx, fill_value=0).astype("int64")
+    )
+    return spans_json, n_blocks, n_lines, n_tokens
+
+
+def extract_turn(text: str, tool: str = "", role: str = "user") -> dict:
+    """Scalar convenience wrapper over ``extract_batch`` (tests, debugging)."""
+    pdf = pd.DataFrame(
+        {"conv_id": ["_"], "turn_idx": [0], "role": [role], "text": [text], "tool": [tool]}
+    )
+    return extract_batch(pdf).iloc[0].to_dict()
+
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Extract a batch of turns.  Pure function of (text, tool, role)."""
+    pdf = pdf.reset_index(drop=True)
+    n = len(pdf)
+    text = pdf["text"].fillna("").astype(str)
+    tool = pdf.get("tool", pd.Series([""] * n)).fillna("").astype(str)
+    role = pdf.get("role", pd.Series(["user"] * n)).fillna("").astype(str)
+
+    status = pd.Series(STATUS_OK, index=text.index)
+
+    # 1. payload resolution
+    payload = text.copy()
+    tool_mask = (role == "tool") & (tool != "")
+    if tool_mask.any():
+        parsed = tool[tool_mask].map(_tool_output)
+        failed = parsed.isna()
+        status.loc[parsed.index[failed]] = STATUS_TOOL_ERROR
+        payload.loc[tool_mask] = parsed.fillna("")
+
+    # 2-3. classification + structure parse -> list-of-blocks per row
+    layout_mask = payload.map(looks_like_layout) & (status == STATUS_OK)
+    html_mask = payload.map(looks_like_html) & ~layout_mask & (status == STATUS_OK)
+    plain_mask = ~layout_mask & ~html_mask & (status == STATUS_OK)
+
+    blocks = pd.Series([[]] * n, index=payload.index, dtype=object)
+    if layout_mask.any():
+        blocks.loc[layout_mask] = payload[layout_mask].map(layout_extract)
+    if html_mask.any():
+        blocks.loc[html_mask] = payload[html_mask].map(html_extract)
+    if plain_mask.any():
+        plain = payload[plain_mask].str.split(_PARA_SPLIT_RE)
+        blocks.loc[plain_mask] = plain.map(lambda xs: [x for x in xs if x.strip()])
+
+    raw = blocks.str.join("\n\n").fillna("")
+
+    # 4. ordered cleanup chain (vectorized)
+    cleaned = cleanup_series(raw)
+
+    # 5. document gate (is_american_nft port): count vitamin-dense lines
+    vit_lines = cleaned.str.count(_VITAMIN_LINE_RE)
+    reject_mask = (vit_lines >= _REJECT_MIN_LINES) & (status == STATUS_OK)
+    status.loc[reject_mask] = STATUS_REJECTED
+    cleaned = cleaned.where(~reject_mask, "")
+    status.loc[(cleaned == "") & (status == STATUS_OK)] = STATUS_EMPTY
+
+    # 6. fields
+    fields_json, n_fields = extract_fields_series(cleaned)
+
+    # 7. spans + counters
+    spans_json, n_blocks, n_lines, n_tokens = _spans_and_counts(cleaned)
+
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].astype(str),
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "extracted_text": cleaned,
+            "spans_json": spans_json,
+            "fields_json": fields_json,
+            "n_blocks": n_blocks,
+            "n_lines": n_lines,
+            "n_tokens": n_tokens,
+            "n_fields": n_fields,
+            "status": status,
+        }
+    )

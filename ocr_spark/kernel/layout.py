@@ -1,0 +1,86 @@
+"""PDF-layout payload parse: page -> block -> line -> span, reading order.
+
+Generalizes the reference's geometric line model to serialized layout
+payloads: same-baseline grouping (``NFT_OCR.py:45-82``), horizontal
+reading-order sort within a line (``NFT_OCR.py:80-82``), top-to-bottom line
+ordering (``NFT_OCR.py:332-334``), and greedy line labelling
+(``split_into_lines``, ``NFT_OCR.py:1039-1058``).
+
+Payload format (produced by ``ocr_spark.synth`` and by any upstream layout
+parser): a JSON document
+
+    {"pages": [{"page": 1,
+                "blocks": [{"bbox": [x0, y0, x1, y1],
+                            "lines": [{"y": 40,
+                                       "spans": [{"x": 10, "text": "..."}]}]
+                           }]}]}
+
+Blocks may arrive out of reading order (the fixture generator shuffles them);
+the canonical order restored here is:
+
+    pages by ``page`` asc -> blocks by (y0, x0) asc -> lines by ``y`` asc
+    -> spans by ``x`` asc
+
+Lines whose spans sit within ``LINE_GAP`` of each other's y are merged into
+one visual line (the same-line predicate of ``NFT_OCR.py:45-82`` with the
+fudge factor collapsed to a fixed gap, since serialized layout has exact
+coordinates).
+"""
+
+from __future__ import annotations
+
+import json
+
+LINE_GAP = 4  # max |y_i - y_j| for two line records to merge into one line
+
+
+def looks_like_layout(text: str) -> bool:
+    t = text.lstrip()
+    return t.startswith("{") and '"pages"' in t[:64]
+
+
+def layout_extract(payload: str) -> list[str]:
+    """Parse a layout JSON payload into reading-ordered block texts.
+
+    Returns a list of block strings; within a block, lines are joined by a
+    single ``\\n`` and spans within a line by a single space.  Malformed
+    payloads yield ``[]`` (the caller records a failure span — the
+    existence-guard pattern of ``NFT_OCR.py:1491``).
+    """
+    try:
+        doc = json.loads(payload)
+        pages = doc["pages"]
+    except (ValueError, TypeError, KeyError):
+        return []
+
+    blocks_out: list[str] = []
+    try:
+        for page in sorted(pages, key=lambda p: p.get("page", 0)):
+            blocks = page.get("blocks", [])
+            ordered = sorted(
+                blocks,
+                key=lambda b: (b.get("bbox", [0, 0, 0, 0])[1], b.get("bbox", [0, 0, 0, 0])[0]),
+            )
+            for blk in ordered:
+                lines = blk.get("lines", [])
+                # greedy same-line merge on y proximity, then top-to-bottom
+                recs = sorted(lines, key=lambda ln: ln.get("y", 0))
+                merged: list[tuple[int, list[dict]]] = []
+                for ln in recs:
+                    y = ln.get("y", 0)
+                    spans = list(ln.get("spans", []))
+                    if merged and abs(y - merged[-1][0]) <= LINE_GAP:
+                        merged[-1][1].extend(spans)
+                    else:
+                        merged.append((y, spans))
+                line_texts = []
+                for _, spans in merged:
+                    spans.sort(key=lambda s: s.get("x", 0))
+                    txt = " ".join(str(s.get("text", "")) for s in spans).strip()
+                    if txt:
+                        line_texts.append(txt)
+                if line_texts:
+                    blocks_out.append("\n".join(line_texts))
+    except (TypeError, AttributeError):
+        return []
+    return blocks_out

@@ -1,0 +1,130 @@
+"""The Spark extraction pipeline: Arrow-batched kernel + scale harness.
+
+Replaces the reference's sequential per-file loop
+(``NFT_OCR.py:1574-1579`` ``for infile in Path(indir).glob(...)``) with:
+
+    read -> select (column prune before Arrow transfer)
+         -> salted repartition on hash(conv_id) (+ turn salt) -> mapInPandas
+         -> window reassembly over (conv_id, turn_idx)
+
+Design notes (100 TB posture):
+- the kernel is per-turn pure, so extraction itself needs NO grouping and NO
+  shuffle beyond the one explicit repartition — which exists solely to defuse
+  long-conversation skew (a handful of 10^5-turn conversations must not pin
+  single tasks).  The salt spreads one conversation's turns across
+  ``salt`` buckets; reassembly is deferred to the output window/sort.
+- only (conv_id, turn_idx, role, text, tool) cross the JVM->Python Arrow
+  boundary; ts and any extra columns are joined back by key only if needed.
+- the whole cleanup chain is ONE mapInPandas stage: each extra UDF hop would
+  pay Arrow serialization twice (SURVEY §4 "pipelining").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ocr_spark.kernel.extract import extract_batch
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("extracted_text", StringType()),
+        StructField("spans_json", StringType()),
+        StructField("fields_json", StringType()),
+        StructField("n_blocks", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("n_fields", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
+def _extract_map(batches):
+    for pdf in batches:
+        yield extract_batch(pdf)
+
+
+def extract_transcripts(
+    df: DataFrame,
+    *,
+    salt: int = 8,
+    partitions: int | None = None,
+    reassemble: bool = True,
+) -> DataFrame:
+    """Run the extraction kernel over a transcripts DataFrame.
+
+    ``salt`` spreads each conversation over ``salt`` shuffle buckets
+    (north-rule skew defense: ``repartition(hash(conv_id), pmod(hash(turn_idx),
+    salt))``).  ``reassemble`` adds the stable-order window columns
+    (turn_rank, conv_turns) over (conv_id, turn_idx).
+    """
+    spark = df.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    pruned = df.select(*INPUT_COLUMNS)
+    salted = pruned.repartition(
+        n_part,
+        F.hash(F.col("conv_id")),
+        F.pmod(F.hash(F.col("turn_idx")), F.lit(salt)),
+    )
+    extracted = salted.mapInPandas(_extract_map, OUTPUT_SCHEMA)
+
+    if not reassemble:
+        return extracted
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = Window.partitionBy("conv_id")
+    return extracted.withColumn("turn_rank", F.row_number().over(w)).withColumn(
+        "conv_turns", F.count(F.lit(1)).over(wc)
+    )
+
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-physical-partition lineage/metrics rows (flags model of
+    ``NFT_OCR.py:1470-1478`` generalized per north_rule).
+
+    One row per executor partition: id, conv_id range, turn range, counters
+    by status, token totals — written alongside the output so a resumed job
+    can audit coverage without rescanning data.
+    """
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.min("conv_id").alias("conv_id_min"),
+            F.max("conv_id").alias("conv_id_max"),
+            F.min("turn_idx").alias("turn_idx_min"),
+            F.max("turn_idx").alias("turn_idx_max"),
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
+            F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)).alias("empty_count"),
+            F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias(
+                "rejected_count"
+            ),
+            F.sum(
+                F.when(~F.col("status").isin("ok", "empty", "rejected"), 1).otherwise(0)
+            ).alias("failed_count"),
+            F.sum("n_tokens").alias("token_count"),
+            F.sum("n_fields").alias("field_count"),
+        )
+    )
+
+
+def failure_spans(extracted: DataFrame) -> DataFrame:
+    """Long-form failure rows (conv_id, turn_idx, reason) — the
+    ``failure_spans`` component of the lineage table (FIXTURES.md §4)."""
+    return extracted.filter(
+        ~F.col("status").isin("ok", "empty")
+    ).select("conv_id", "turn_idx", F.col("status").alias("reason"))
