@@ -1,0 +1,324 @@
+"""Deduplication family — first-class training-data-pipeline operators.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> k minhashes -> banded
+bucket join -> exact-Jaccard verify), SimHash (bitwise majority vote),
+and brute-force n-gram Jaccard.
+
+Cross-engine stable 60-bit hash (same md5 bytes in both engines):
+    Spark : conv(substr(md5(x), 1, 15), 16, 10) :: BIGINT
+    DuckDB: ('0x' || substr(md5(x), 1, 15)) :: BIGINT
+
+Scale notes: at 100 TB the shingle->minhash step is a map-side pipeline
+(no shuffle until the per-doc min aggregation); the LSH band join shuffles
+only (band, signature) pairs — the whole point of banding is that the
+candidate join is tiny next to an all-pairs product.  The exact-verify
+join touches only candidate docs' shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.tables import load
+
+P = 2_147_483_647  # Mersenne prime 2^31-1 for the affine minhash family
+# deterministic affine params (a_i, b_i) for k=8 minhash functions
+MINHASH_PARAMS = [
+    (131, 7), (241, 101), (353, 211), (467, 307),
+    (577, 401), (691, 503), (809, 601), (919, 701),
+]
+N_BANDS = 4  # 2 rows per band
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+JACCARD_MIN = 0.5
+
+
+def _hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _shingles(spark, sf_dir):
+    """3-word shingles per document as stable 60-bit hashes."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    w1 = F.col("w")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("w2", F.lead("w", 1).over(win))
+        .withColumn("w3", F.lead("w", 2).over(win))
+        .filter(F.col("w3").isNotNull())
+        .select(
+            "doc_id",
+            _hash60(F.concat_ws(" ", w1, F.col("w2"), F.col("w3"))).alias("sh"),
+        )
+        .distinct()
+    )
+    return sh
+
+
+_SHINGLES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), nz AS (
+  SELECT * FROM toks WHERE w <> ''
+), tri AS (
+  SELECT doc_id, pos, w,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM nz
+)
+SELECT DISTINCT doc_id, {_hash60_sql("w || ' ' || w2 || ' ' || w3")} AS sh
+FROM tri WHERE w3 IS NOT NULL
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash groupBy — duplicate clusters with a
+    deterministic representative (min doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH candidate generation + exact-Jaccard verify.
+
+    shingle -> k=8 affine minhashes -> 4 bands of 2 -> bucket join on
+    (band, sig) -> candidate pairs -> exact Jaccard >= 0.5.
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    params = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i INT, a INT, b INT"
+    )
+    mh = (
+        sh.crossJoin(F.broadcast(params))
+        .select(
+            "doc_id",
+            "i",
+            ((F.col("a") * (F.col("sh") % P) + F.col("b")) % P).alias("hv"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("i") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))).alias("s0"),
+            F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))).alias("s1"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.s0") == F.col("b.s0"))
+            & (F.col("a.s1") == F.col("b.s1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("na.n") + F.col("nb.n") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+params(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))}),
+mh AS (
+  SELECT doc_id, i, min((a * (sh % {P}) + b) % {P}) AS mh
+  FROM sh CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i / 2 AS INTEGER) AS band,
+         max(CASE WHEN i % 2 = 0 THEN mh END) AS s0,
+         max(CASE WHEN i % 2 = 1 THEN mh END) AS s1
+  FROM mh GROUP BY doc_id, CAST(i / 2 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(inter / (na.n + nb.n - inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(inter / (na.n + nb.n - inter), 4) >= {JACCARD_MIN}
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 16-bit per-word-hash majority vote,
+    pairs with Hamming distance <= 3."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = toks.select("doc_id", _hash60(F.col("w")).alias("h"))
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("shiftright(h, b) % 2") == 1, 1).otherwise(-1).alias("v"),
+    )
+    sim = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(0)
+            .alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("simhash"))
+    )
+    a = sim.alias("a")
+    b = sim.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), nz AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+hashed AS (SELECT doc_id, {_hash60_sql("w")} AS h FROM nz),
+bits AS (
+  SELECT doc_id, t.b,
+         CASE WHEN (h >> t.b) % 2 = 1 THEN 1 ELSE -1 END AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b) t
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Brute-force n-gram Jaccard near-dup pairs (doc_id < 200 on both
+    sides to bound the pair product — the LSH variant above is the scale
+    path; this is the exactness baseline)."""
+    sh = _shingles(spark, sf_dir).filter(F.col("doc_id") < 200).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na.n") + F.col("nb.n") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS (SELECT * FROM ({_SHINGLES_SQL}) WHERE doc_id < 200),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, round(inter / (na.n + nb.n - inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.3
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+}

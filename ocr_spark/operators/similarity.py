@@ -1,0 +1,194 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Brute-force cosine top-k as the exactness baseline and a sign-LSH-bucketed
+variant as the scale path.  Dot products are computed relationally
+(posexplode + equi-join on the component index + sum) so the identical
+plan runs in DuckDB for the oracle; cosines are rounded to 6 dp *before*
+ranking so float noise cannot flip a rank across engines.
+
+Scale notes: at 10^9 vectors the brute-force product is infeasible — the
+bucketed variant prunes candidates to one bucket (sign-bit sketch over the
+leading dimensions), the classic LSH trade; buckets are balanced keys, so
+the join shuffles candidates once, broadcast-joining the (tiny) query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.tables import load
+
+N_QUERIES = 10
+TOP_K = 5
+SIGN_BITS = 4
+
+
+def _components(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("idx", "v"),
+    ).select("vec_id", "idx", F.col("v").cast("double").alias("v"))
+
+
+_COMPONENTS_SQL = """
+SELECT vec_id,
+       generate_subscripts(embedding, 1) - 1 AS idx,
+       CAST(unnest(embedding) AS DOUBLE) AS v
+FROM embeddings
+"""
+
+_NORMS_SQL = f"""
+SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ({_COMPONENTS_SQL}) GROUP BY vec_id
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: queries = vec_id < N, candidates = all
+    others; exact ranking with deterministic tie-break."""
+    comp = _components(spark, sf_dir).cache()
+    norms = comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    q = comp.filter(F.col("vec_id") < N_QUERIES)
+    c = comp.filter(F.col("vec_id") >= N_QUERIES)
+    dots = (
+        q.alias("q")
+        .join(c.alias("c"), F.col("q.idx") == F.col("c.idx"))
+        .groupBy(
+            F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("cand_id")
+        )
+        .agg(F.sum(F.col("q.v") * F.col("c.v")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.alias("nq"), F.col("query_id") == F.col("nq.vec_id"))
+        .join(norms.alias("nc"), F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rk")
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH comp AS ({_COMPONENTS_SQL}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
+  FROM comp q JOIN comp c ON q.idx = c.idx
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.cand_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+  FROM cos
+)
+SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-LSH bucketed variant: 4 sign bits over the leading dimensions
+    define the bucket; candidates are searched only within the query's
+    bucket (the 100 TB path), then ranked exactly inside it."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.element_at(F.col("embedding"), i + 1) > 0, 1 << i).otherwise(0)
+            for i in range(SIGN_BITS)
+        ),
+        F.lit(0),
+    ).alias("bucket")
+    buckets = e.select("vec_id", bucket)
+
+    comp = _components(spark, sf_dir)
+    comp_b = comp.join(buckets, "vec_id")
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    q = comp_b.filter(F.col("vec_id") < N_QUERIES)
+    c = comp_b.filter(F.col("vec_id") >= N_QUERIES)
+    dots = (
+        q.alias("q")
+        .join(
+            c.alias("c"),
+            (F.col("q.idx") == F.col("c.idx")) & (F.col("q.bucket") == F.col("c.bucket")),
+        )
+        .groupBy(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("q.bucket").alias("bucket"),
+        )
+        .agg(F.sum(F.col("q.v") * F.col("c.v")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.alias("nq"), F.col("query_id") == F.col("nq.vec_id"))
+        .join(norms.alias("nc"), F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "bucket",
+            F.round(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "bucket", "cos", "rk")
+    )
+
+
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(SIGN_BITS)
+)
+
+ANN_LSH_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id, {_BUCKET_EXPR} AS bucket FROM embeddings
+),
+comp AS ({_COMPONENTS_SQL}),
+compb AS (SELECT c.vec_id, c.idx, c.v, b.bucket FROM comp c JOIN buckets b USING (vec_id)),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+         sum(q.v * c.v) AS dot
+  FROM compb q JOIN compb c ON q.idx = c.idx AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id, q.bucket
+),
+cos AS (
+  SELECT d.query_id, d.cand_id, d.bucket,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, bucket, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+  FROM cos
+)
+SELECT query_id, cand_id, bucket, cos, rk FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+}

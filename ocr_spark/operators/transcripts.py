@@ -1,0 +1,128 @@
+"""Transcript-extraction operators (the engine's core), exposed to the
+driver as rows-only checks: the extraction kernel is not ANSI-SQL
+expressible (its ground truth is the in-repo Python oracle, enforced
+byte-for-byte by tests/test_parity.py), so these have no oracle_sql.
+
+The transcripts table is synthesized deterministically in-query (pure
+function of conversation index — see ocr_spark.synth) because the driver's
+sf dirs don't carry a transcripts table; scale is fixed so row counts are
+stable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ocr_spark.pipeline import extract_transcripts, partition_metrics
+from ocr_spark.synth import generate_spark
+
+N_CONVS = 150
+
+SPAN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("b", IntegerType()),
+            StructField("l", IntegerType()),
+            StructField("p", IntegerType()),
+            StructField("t", StringType()),
+        ]
+    )
+)
+
+FIELD_SCHEMA = MapType(
+    StringType(),
+    StructType(
+        [
+            StructField("qty", StringType()),
+            StructField("unit", StringType()),
+            StructField("dv", StringType()),
+            StructField("status", StringType()),
+        ]
+    ),
+)
+
+
+def extract_pipeline(spark, sf_dir):
+    """Full extraction pipeline over synthetic transcripts: salted
+    repartition -> Arrow-batch kernel -> stable (conv_id, turn_idx) window
+    reassembly.  Deterministic output."""
+    df = generate_spark(spark, N_CONVS, partitions=8)
+    out = extract_transcripts(df, salt=8)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "turn_rank",
+        "conv_turns",
+        "status",
+        "n_blocks",
+        "n_lines",
+        "n_tokens",
+        "n_fields",
+        "extracted_text",
+    )
+
+
+def extract_fields_long(spark, sf_dir):
+    """Long-form extracted fields: fields_json parsed JVM-side (from_json)
+    and exploded to (conv_id, turn_idx, field, qty, unit, dv, status) —
+    the reference's return_df shape (NFT_OCR.py:1315-1321) as a table."""
+    df = generate_spark(spark, N_CONVS, partitions=8)
+    out = extract_transcripts(df, salt=8, reassemble=False)
+    parsed = out.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.from_json(F.col("fields_json"), FIELD_SCHEMA)).alias("field", "fv"),
+    )
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "field",
+        F.col("fv.qty").alias("qty"),
+        F.col("fv.unit").alias("unit"),
+        F.col("fv.dv").alias("dv"),
+        F.col("fv.status").alias("status"),
+    )
+
+
+def extract_spans_typed(spark, sf_dir):
+    """Typed span rows: spans_json -> array<struct> -> posexplode, giving
+    the (doc, block, line, pos, token) relation every downstream layout
+    operator consumes."""
+    df = generate_spark(spark, N_CONVS, partitions=8)
+    out = extract_transcripts(df, salt=8, reassemble=False)
+    spans = out.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.from_json(F.col("spans_json"), SPAN_SCHEMA)).alias("s"),
+    )
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        F.col("s.b").alias("block_id"),
+        F.col("s.l").alias("line_id"),
+        F.col("s.p").alias("pos"),
+        F.col("s.t").alias("token"),
+    )
+
+
+def extract_lineage(spark, sf_dir):
+    """Per-partition lineage/metrics rows for the same run (north_rule)."""
+    df = generate_spark(spark, N_CONVS, partitions=8)
+    out = extract_transcripts(df, salt=8, reassemble=False)
+    return partition_metrics(out)
+
+
+QUERIES = {
+    "extract_pipeline": (extract_pipeline, None),
+    "extract_fields_long": (extract_fields_long, None),
+    "extract_spans_typed": (extract_spans_typed, None),
+    "extract_lineage": (extract_lineage, None),
+}
