@@ -22,11 +22,13 @@ from __future__ import annotations
 from ocr_spark.operators import (
     aggregates,
     dedup,
+    extras,
     filters,
     joins,
     relational,
     sets,
     similarity,
+    spatial,
     strings,
     textstats,
     transcripts,
@@ -42,6 +44,8 @@ for _m in (
     windows,
     strings,
     sets,
+    spatial,
+    extras,
     dedup,
     similarity,
     textstats,
