@@ -25,6 +25,7 @@ from ocr_spark.operators import (
     extras,
     filters,
     joins,
+    multimodal,
     relational,
     sets,
     similarity,
@@ -49,6 +50,7 @@ for _m in (
     dedup,
     similarity,
     textstats,
+    multimodal,
     transcripts,
 ):
     for _name, _pair in _m.QUERIES.items():
