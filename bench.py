@@ -14,11 +14,15 @@ Two workloads:
    window ops from `__spark_entry__.queries()`) at ``$SPARK_GRAFT_SF_DIR``
    (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 2. The extraction pipeline (the north-star job) over deterministic
-   synthetic transcripts, run in TWO fresh subprocess JVMs at parallelism
-   N and 4N (local[8] vs local[32] — the sandbox stand-in for an N- vs
-   4N-executor cluster per the driver instruction), reporting turns/sec
-   at both and scaling efficiency = tput(4N) / (4 * tput(N)).  The north
-   rule requires efficiency >= 0.8.
+   synthetic transcripts, run in fresh subprocess JVMs at parallelism N
+   and 4N cores (default 2 vs 8 — the sandbox stand-in for an N- vs
+   4N-executor cluster per the driver instruction), each process tree
+   CPU-pinned to exactly its core budget, interleaved best-of-reps per
+   level, with a no-Spark multiprocessing control on the same input.
+   Reports turns/sec at both levels, scaling efficiency
+   = tput(4N) / (4 * tput(N)), and the control-normalized efficiency.
+   The north rule requires efficiency >= 0.8; see BENCH.md and SCALE.md
+   §7 for why pinning + control make this measurable on one shared VM.
 
 Results are also appended in human-readable form to BENCH.md.
 
@@ -40,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = os.path.join(REPO, ".bench")
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))  # ~630k turns
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))  # ~310k turns
 
 # Representative headline set: one per workload family (relational agg,
 # relational join, fuzzy join, sessionization window, exact + LSH dedup,
@@ -173,27 +177,44 @@ def run_scaling(cpus: int) -> dict:
     cluster, where each executor owns its cores.  At 2 and 8 both runs
     (JVM overhead included) stay inside the flat region, so the number
     measures the job's parallel scaling, not the VM's power envelope.
-    Runs are interleaved best-of-2 per level (host CPU steal swings
-    single runs by ±30%); the control is reported alongside and
+    Runs are interleaved best-of-N per level (host CPU steal swings
+    single runs by ±30%; all rep times are reported so the spread is
+    visible); the control is reported alongside and
     `normalized_efficiency` = spark eff / control eff."""
     parquet, turns = _ensure_transcripts(cpus)
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(max(2, cpus // 16))))
     hi = 4 * lo
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    # 3 interleaved reps, best-of per level: host CPU-steal windows last
+    # minutes, so sampling each level across ~6 min and keeping the best
+    # approximates the steal-free number at both levels.
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    import shutil
+
+    taskset = shutil.which("taskset")
     best: dict[int, float] = {}
+    allruns: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(reps):
         for k in (lo, hi):
+            # Pin the whole process tree (JVM + Python workers) to exactly
+            # k cores — the honest executor model.  Unpinned, a local[2]
+            # JVM spills its Arrow/shuffle threads onto the box's 30 idle
+            # cores, inflating the low-parallelism baseline and
+            # understating scaling.
+            pin = [taskset, "-c", f"0-{k - 1}"] if taskset else []
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(k), parquet],
+                pin
+                + [sys.executable, os.path.abspath(__file__), "--worker", str(k), parquet],
                 capture_output=True, text=True, timeout=1800,
             )
             sec = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
             best[k] = min(best.get(k, 1e18), sec)
+            allruns[k].append(sec)
     out = {"turns": turns, "convs": SCALE_CONVS, "levels": [lo, hi]}
     for k in (lo, hi):
         out[f"local[{k}]"] = {
             "sec": best[k],
             "turns_per_sec": round(turns / best[k], 1),
+            "all_runs_sec": allruns[k],  # spread shows host CPU-steal noise
         }
     tput_lo = out[f"local[{lo}]"]["turns_per_sec"]
     tput_hi = out[f"local[{hi}]"]["turns_per_sec"]
@@ -225,6 +246,14 @@ def main() -> None:
     qs = entrymod.queries()
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Session warmup (scan + agg + noop sink) so codegen/scan init isn't
+    # billed to whichever headline query happens to run first.
+    _force(
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .groupBy("r_regionkey")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -268,8 +297,10 @@ def _write_bench_md(result: dict) -> None:
             "## Extraction scaling (north rule: efficiency >= 0.8 from N to 4N)",
             "",
             f"Same job, same input ({ex['turns']:,} turns, {ex['convs']:,} "
-            "conversations, deterministic synthetic transcripts), two fresh JVMs "
-            f"— `local[{lo}]` standing in for N executors, `local[{hi}]` for 4N:",
+            "conversations, deterministic synthetic transcripts), two fresh JVMs, "
+            "each process tree CPU-pinned (`taskset`) to exactly its core budget "
+            "(the executor model: JVM overhead counted fairly at both levels) — "
+            f"`local[{lo}]` standing in for N executors, `local[{hi}]` for 4N:",
             "",
             "| parallelism | wall sec | turns/sec |",
             "| --- | --- | --- |",

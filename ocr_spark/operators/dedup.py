@@ -108,27 +108,31 @@ def dedup_minhash_lsh(spark, sf_dir):
     (band, sig) -> candidate pairs -> exact Jaccard >= 0.5.
     """
     sh = _shingles(spark, sf_dir).cache()
-    params = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i INT, a INT, b INT"
+    # All k minhashes in ONE map-side-combined aggregation (k min()
+    # expressions), instead of a k-fold crossJoin row blowup + shuffle on
+    # (doc_id, i): one shuffle on doc_id, k-fold less shuffle volume.
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * (F.col("sh") % P) + F.lit(b)) % P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
     )
-    mh = (
-        sh.crossJoin(F.broadcast(params))
-        .select(
-            "doc_id",
-            "i",
-            ((F.col("a") * (F.col("sh") % P) + F.col("b")) % P).alias("hv"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("mh"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("i") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))).alias("s0"),
-            F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))).alias("s1"),
-        )
-    )
+    n_bands = len(MINHASH_PARAMS) // 2
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.col(f"mh{2 * bd}").alias("s0"),
+                        F.col(f"mh{2 * bd + 1}").alias("s1"),
+                    )
+                    for bd in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.s0", "bs.s1")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

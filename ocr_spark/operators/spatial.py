@@ -325,8 +325,31 @@ SELECT doc_id, ux, uy, ux2, uy2, (ux2 - ux) * (uy2 - uy) AS union_area FROM u
 """
 
 
+def t4_argsort_by_y(spark, sf_dir):
+    """T4 — argsort (curves sorted by vertical position, skeleton.py:393):
+    per-doc line ids in ascending y order, array_sort on collected structs
+    (fully JVM-side, no shuffle beyond the groupBy)."""
+    ln = _lines(spark, sf_dir)
+    return (
+        ln.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("y1", "line_id"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.transform("arr", lambda x: x.line_id)).alias("ordered_lines"),
+        )
+    )
+
+
+T4_SQL = f"""
+SELECT doc_id,
+       string_agg(CAST(line_id AS VARCHAR), ',' ORDER BY y1, line_id) AS ordered_lines
+FROM ({_LINES_SQL}) GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "f2_directional_filter": (f2_directional_filter, F2_SQL),
+    "t4_argsort_by_y": (t4_argsort_by_y, T4_SQL),
     "f7_orientation_predicate": (f7_orientation_predicate, F7_SQL),
     "f9_usefulness_predicate": (f9_usefulness_predicate, F9_SQL),
     "f10_size_pruning": (f10_size_pruning, F10_SQL),
