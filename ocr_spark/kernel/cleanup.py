@@ -83,6 +83,11 @@ REJOIN = (
 # common subset (no lookaround, no pattern backrefs), so both engines
 # match identically — pinned by the kernel unit tests and the parity
 # suite, which run this same code path through plain `re` via the oracle.
+# CR-normalize then drop remaining C0/DEL controls (keep \n, \t): the
+# junk-character cleanup analog (NFT_OCR.py:751-773) for byte noise; also
+# guarantees spans/fields JSON never embeds a raw control character.
+_CRLF_RE = r"\r\n?"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 _FRENCH_FLOAT_RE = r"(\d),(\d)"
 _GT_GF_RE = r"\b(\d+(?:\.\d+)?\s*)g[tf]\b"
 _FOOTER_RE = (
@@ -114,6 +119,8 @@ def cleanup_series(s: pd.Series) -> pd.Series:
     the kernel expects).
     """
     s = s.fillna("").astype("string[pyarrow]")
+    s = s.str.replace(_CRLF_RE, "\n", regex=True)                      # 0a
+    s = s.str.replace(_CTRL_RE, "", regex=True)                        # 0b
     s = s.str.replace(_FRENCH_FLOAT_RE, r"\1.\2", regex=True)          # 1
     s = s.str.lower()                                                  # 2
     # str.translate has no Arrow kernel; the per-row C translate is cheap

@@ -106,8 +106,12 @@ def _spans_and_counts(
                 for tok in line.split(" "):
                     if not tok:
                         continue
-                    if "\\" in tok or '"' in tok:
-                        tok = tok.replace("\\", "\\\\").replace('"', '\\"')
+                    # json.dumps on the rare path covers backslash, quote,
+                    # AND any control char cleanup didn't strip (its
+                    # escaping of \\ and " is identical to the manual
+                    # replaces); ensure_ascii=False keeps unicode bytes.
+                    if "\\" in tok or '"' in tok or min(tok) < " ":
+                        tok = json.dumps(tok, ensure_ascii=False)[1:-1]
                     items.append(f'{{"b":{b},"l":{li},"p":{p},"t":"{tok}"}}')
                     p += 1
                 tokens += p
