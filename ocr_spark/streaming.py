@@ -85,6 +85,84 @@ def stream_extract(
     return writer.start()
 
 
+CONV_PROGRESS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turns_seen", IntegerType()),
+        StructField("max_turn_idx", IntegerType()),
+        StructField("tool_turns", IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = "turns INT, max_idx INT, tools INT"
+
+
+def _conv_progress_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: running per-conversation counters.
+
+    State = (turns_seen, max_turn_idx, tool_turns), updated per micro-batch
+    and emitted after each update — the streaming form of the lineage
+    counters (per-key instead of per-partition).  Stateful custom-operator
+    surface per SURVEY §2.11; bounded state (3 ints per conversation).
+    """
+    turns, max_idx, tools = state.get if state.exists else (0, -1, 0)
+    for pdf in pdf_iter:
+        turns += len(pdf)
+        max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        tools += int((pdf["role"] == "tool").sum())
+    state.update((turns, max_idx, tools))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "turns_seen": [turns],
+            "max_turn_idx": [max_idx],
+            "tool_turns": [tools],
+        }
+    )
+
+
+def conversation_progress(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Stateful streaming aggregation over conversations via
+    ``applyInPandasWithState`` (custom stateful operator; per-key state
+    persists in the stream checkpoint across restarts, so counters
+    continue — not restart — when new files arrive).  Updates land in
+    ``output_dir`` via foreachBatch append (the memory sink cannot recover
+    from a checkpoint); the latest row per conv_id is the current state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream_source(spark, input_dir)
+    out = (
+        src.groupBy("conv_id")
+        .applyInPandasWithState(
+            _conv_progress_fn,
+            outputStructType=CONV_PROGRESS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _append(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    return (
+        out.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def turn_rate_metrics(
     spark: SparkSession,
     input_dir: str,

@@ -52,3 +52,33 @@ def test_stream_matches_batch_and_resumes_incrementally(spark, tmp_path):
     assert _keys(spark.read.parquet(outdir)) == want
     n_files2 = len([f for f in os.listdir(outdir) if f.endswith(".parquet")])
     assert n_files2 >= n_files  # empty commits may add zero-row files, never rows
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    from ocr_spark.streaming import conversation_progress
+
+    indir = str(tmp_path / "sin")
+    outdir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    pdf = synth.generate_local(12, shuffled=True).sort_values(["conv_id", "turn_idx"])
+    half = len(pdf) // 2
+
+    _write_chunk(spark, pdf.iloc[:half], indir)
+    q = conversation_progress(spark, indir, outdir, ckpt)
+    q.awaitTermination()
+
+    # second batch: state must CONTINUE across the restart, not reset
+    _write_chunk(spark, pdf.iloc[half:], indir)
+    q = conversation_progress(spark, indir, outdir, ckpt)
+    q.awaitTermination()
+    updates = spark.read.parquet(outdir).toPandas()
+    last_epoch = updates[updates["epoch"] == updates["epoch"].max()]
+    latest = {r.conv_id: r for r in last_epoch.itertuples()}
+
+    want = pdf.groupby("conv_id").agg(
+        n=("turn_idx", "size"), mx=("turn_idx", "max")
+    )
+    # every conversation updated in batch 2 must show FULL cumulative counts
+    for conv_id, r in latest.items():
+        assert r.turns_seen == int(want.loc[conv_id, "n"])
+        assert r.max_turn_idx == int(want.loc[conv_id, "mx"])
