@@ -188,7 +188,127 @@ SELECT query_id, cand_id, bucket, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ann_ivf_flat(spark, sf_dir):
+    """IVF-Flat: coarse quantizer + probe-limited exact search (the other
+    classic ANN scale path next to LSH).
+
+    Centroids = the ``N_CENTROIDS`` vectors right after the query range
+    (deterministic stand-in for a k-means codebook — the assignment /
+    probe / rank machinery is identical).  Every vector is assigned to its
+    argmax-dot centroid (its cell); a query probes its ``N_PROBE`` nearest
+    cells and ranks exact cosine only within them.  At 10^9 vectors the
+    centroid table broadcasts (tiny), assignment is one narrow pass, and
+    the search join shuffles only (cell, vec) — never all-pairs.  Dots are
+    rounded to 6 dp before the argmax so the cell assignment cannot flip
+    between engines.
+    """
+    comp = _components(spark, sf_dir).cache()
+    cent = comp.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), "idx", F.col("v").alias("cv"))
+    # dot(vector, centroid) for every pair -> ranked cells per vector
+    vdots = (
+        comp.alias("x")
+        .join(F.broadcast(cent), F.col("x.idx") == cent.idx)
+        .groupBy(F.col("x.vec_id").alias("vec_id"), "cent_id")
+        .agg(F.round(F.sum(F.col("x.v") * F.col("cv")), 6).alias("cdot"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cent_id"))
+    cells = vdots.withColumn("cell_rk", F.row_number().over(w_cell))
+    assign = cells.filter(F.col("cell_rk") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = cells.filter(
+        (F.col("cell_rk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    cand = assign.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), "cell"
+    )
+    pairs = probes.join(cand, "cell").select("query_id", "cand_id").distinct()
+    dots = (
+        pairs.join(
+            comp.alias("q"), F.col("query_id") == F.col("q.vec_id")
+        )
+        .join(
+            comp.alias("c"),
+            (F.col("cand_id") == F.col("c.vec_id")) & (F.col("q.idx") == F.col("c.idx")),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("q.v") * F.col("c.v")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.alias("nq"), F.col("query_id") == F.col("nq.vec_id"))
+        .join(norms.alias("nc"), F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rk")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH comp AS ({_COMPONENTS_SQL}),
+cent AS (
+  SELECT vec_id AS cent_id, idx, v AS cv FROM comp
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+vdots AS (
+  SELECT x.vec_id, cent_id, round(sum(x.v * cv), 6) AS cdot
+  FROM comp x JOIN cent ON x.idx = cent.idx
+  GROUP BY x.vec_id, cent_id
+),
+cells AS (
+  SELECT vec_id, cent_id, cdot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS cell_rk
+  FROM vdots
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM cells WHERE cell_rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM cells
+  WHERE cell_rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (SELECT vec_id AS cand_id, cell FROM assign WHERE vec_id >= {N_QUERIES}),
+pairs AS (SELECT DISTINCT query_id, cand_id FROM probes JOIN cand USING (cell)),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT p.query_id, p.cand_id, sum(q.v * c.v) AS dot
+  FROM pairs p
+  JOIN comp q ON q.vec_id = p.query_id
+  JOIN comp c ON c.vec_id = p.cand_id AND c.idx = q.idx
+  GROUP BY p.query_id, p.cand_id
+),
+cos AS (
+  SELECT d.query_id, d.cand_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+  FROM cos
+)
+SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_ivf_flat": (ann_ivf_flat, ANN_IVF_SQL),
 }
