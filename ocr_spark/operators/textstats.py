@@ -117,8 +117,65 @@ FROM documents
 """
 
 
+def doc_winnowing(spark, sf_dir):
+    """Winnowing fingerprint (the rolling-hash document sketch of
+    Schleimer et al.): hash every 3-word shingle, take the min hash of
+    each 4-shingle window, dedup — the selected hashes are the document's
+    robust fingerprint set.  Cross-engine 60-bit hash = md5-prefix trick
+    (see operators/__init__.py)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        w.withColumn("w2", F.lead("word", 1).over(seq))
+        .withColumn("w3", F.lead("word", 2).over(seq))
+        .filter(F.col("w3").isNotNull())
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "word", "w2", "w3")), 1, 15), 16, 10
+            ).cast("bigint"),
+        )
+    )
+    winmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        sh.withColumn("fp", F.min("h").over(winmin))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+WINNOW_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+              || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS gram,
+         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM w
+),
+hashed AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+  FROM sh WHERE w3 IS NOT NULL
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+FROM hashed
+"""
+
+
 QUERIES = {
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
+    "doc_winnowing": (doc_winnowing, WINNOW_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
