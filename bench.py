@@ -44,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = os.path.join(REPO, ".bench")
+_T0 = time.time()
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))  # ~310k turns
 
 # Representative headline set: one per workload family (relational agg,
@@ -191,9 +192,14 @@ def run_scaling(cpus: int) -> dict:
     import shutil
 
     taskset = shutil.which("taskset")
+    # soft deadline: finish at least one rep per level, skip later reps
+    # if the bench is running long (driver-side time budgets are unknown)
+    deadline = _T0 + float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "330"))
     best: dict[int, float] = {}
     allruns: dict[int, list[float]] = {lo: [], hi: []}
-    for _ in range(reps):
+    for rep in range(reps):
+        if rep > 0 and time.time() > deadline:
+            break
         for k in (lo, hi):
             # Pin the whole process tree (JVM + Python workers) to exactly
             # k cores — the honest executor model.  Unpinned, a local[2]
