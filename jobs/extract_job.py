@@ -34,7 +34,11 @@ over that many tasks.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# direct `python jobs/extract_job.py` runs (no --py-files zip on the path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_session(app: str, shuffle_partitions: int | None):
