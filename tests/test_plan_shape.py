@@ -1,0 +1,40 @@
+"""Physical-plan regression guards for the extraction pipeline's scale
+posture (SCALE.md §1/§3): exactly one Python/Arrow stage, exactly two
+exchanges (salt repartition + reassembly window), and a 5-column scan."""
+
+from __future__ import annotations
+
+from ocr_spark import synth
+from ocr_spark.pipeline import INPUT_COLUMNS, extract_transcripts
+
+
+def _plan(df):
+    return df._jdf.queryExecution().optimizedPlan().toString(), df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_plan_shape(spark, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(synth.generate_local(20)).write.parquet(path)
+    # extra column that must be pruned out of the scan
+    df = spark.read.parquet(path)
+    out = extract_transcripts(df, salt=4, partitions=8)
+    optimized, executed = _plan(out)
+
+    assert executed.count("MapInPandas") == 1  # ONE Arrow stage, not N
+    n_exchange = executed.count("Exchange")
+    assert n_exchange == 2, f"expected 2 shuffles (salt + window), got {n_exchange}"
+    # column pruning: ts never crosses into the scan output
+    import re
+
+    scan = re.search(r"ReadSchema: struct<([^>]*)>", executed)
+    if scan:  # formatted scan line present
+        cols = {c.split(":")[0] for c in scan.group(1).split(",")}
+        assert cols == set(INPUT_COLUMNS), cols
+
+
+def test_no_reassembly_means_single_shuffle(spark, tmp_path):
+    path = str(tmp_path / "t2.parquet")
+    spark.createDataFrame(synth.generate_local(10)).write.parquet(path)
+    out = extract_transcripts(spark.read.parquet(path), salt=4, partitions=8, reassemble=False)
+    _, executed = _plan(out)
+    assert executed.count("Exchange") == 1  # only the salt repartition
