@@ -120,9 +120,26 @@ def extract_lineage(spark, sf_dir):
     return partition_metrics(out)
 
 
+def extract_enriched(spark, sf_dir):
+    """Extraction + enrichment (spell-correct vs the deterministic lexicon,
+    language vote) - the reference's full Ingredients flow end to end
+    (Ingredients_OCR.py:233-276).  Rows-only check; semantics pinned by
+    tests/test_enrich.py."""
+    from ocr_spark.enrich import enrich_extracted
+    from ocr_spark.synth import lexicon_words
+
+    df = generate_spark(spark, 60, partitions=8)
+    out = extract_transcripts(df, salt=4)
+    return enrich_extracted(out, lexicon_words()).select(
+        "conv_id", "turn_idx", "extracted_text", "corrected_text",
+        "n_corrections", "language", "status",
+    )
+
+
 QUERIES = {
     "extract_pipeline": (extract_pipeline, None),
     "extract_fields_long": (extract_fields_long, None),
     "extract_spans_typed": (extract_spans_typed, None),
     "extract_lineage": (extract_lineage, None),
+    "extract_enriched": (extract_enriched, None),
 }
