@@ -82,3 +82,32 @@ def test_stateful_conversation_progress(spark, tmp_path):
     for conv_id, r in latest.items():
         assert r.turns_seen == int(want.loc[conv_id, "n"])
         assert r.max_turn_idx == int(want.loc[conv_id, "mx"])
+
+
+def test_turn_rate_metrics_watermarked_windows(spark, tmp_path):
+    from ocr_spark.streaming import turn_rate_metrics
+
+    indir = str(tmp_path / "min")
+    ckpt = str(tmp_path / "mckpt")
+    pdf = synth.generate_local(10, shuffled=True)
+    _write_chunk(spark, pdf, indir)
+
+    q = turn_rate_metrics(spark, indir, ckpt, window="1 hour", slide="1 hour")
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM turn_rates").collect()
+    # watermark append-mode emits only closed windows; every emitted count
+    # must match a direct batch aggregation of the same input
+    got = {(r.win_start, r.role): r.turns for r in rows}
+    assert got, "no closed windows emitted"
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.createDataFrame(pdf)
+        .groupBy(F.window("ts", "1 hour"), F.col("role"))
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .select(F.col("window.start").alias("ws"), "role", "turns")
+        .collect()
+    )
+    want = {(r.ws, r.role): r.turns for r in batch}
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
