@@ -239,10 +239,13 @@ def run_scaling(cpus: int) -> dict:
     out["scaling_efficiency"] = round(tput_hi / ((hi / lo) * tput_lo), 3)
     # absolute-throughput point: best unpinned run over {16, all} cores x2
     # (above ~16 busy cores this VM throttles per-core ~30%, so 16 often
-    # beats 32 here; a real cluster adds executors instead)
+    # beats 32 here; a real cluster adds executors instead).  Like the
+    # rep loop, skipped when past the soft deadline.
     peak = {"sec": 1e18, "cores": cpus}
     for k in dict.fromkeys((min(16, cpus), cpus)):
         for _ in range(2):
+            if time.time() > deadline + 90:
+                break
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(k), parquet],
                 capture_output=True, text=True, timeout=1800,
@@ -250,15 +253,20 @@ def run_scaling(cpus: int) -> dict:
             sec = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
             if sec < peak["sec"]:
                 peak = {"sec": sec, "cores": k}
-    out["peak"] = {
-        "cores": peak["cores"],
-        "sec": peak["sec"],
-        "turns_per_sec": round(turns / peak["sec"], 1),
-    }
+    if peak["sec"] < 1e17:
+        out["peak"] = {
+            "cores": peak["cores"],
+            "sec": peak["sec"],
+            "turns_per_sec": round(turns / peak["sec"], 1),
+        }
     parquet_file = [
         os.path.join(parquet, f) for f in sorted(os.listdir(parquet)) if f.endswith(".parquet")
     ]
-    ctl = control_scaling(parquet_file, turns, lo, hi) if parquet_file else None
+    ctl = (
+        control_scaling(parquet_file, turns, lo, hi)
+        if parquet_file and time.time() < deadline + 150
+        else None
+    )
     if ctl:
         out["control"] = ctl
         out["normalized_efficiency"] = round(

@@ -67,7 +67,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=None, metavar="N_CONVS",
                    help="ignore --input; run on deterministic synthetic transcripts")
+    p.add_argument("--deep-audit", action="store_true",
+                   help="cross-check lineage totals against a full input rescan")
     args = p.parse_args(argv)
+    if args.synthetic is not None and args.synthetic <= 0:
+        p.error("--synthetic requires a positive conversation count")
+    if args.synthetic is None and not args.input:
+        p.error("either --input or --synthetic is required")
 
     spark = build_session("ocr-spark-extract", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
@@ -93,7 +99,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     pending_before = len(job.pending_buckets())
     n = job.run(max_chunks=args.max_chunks)
-    audit = job.validate()
+    audit = job.validate(deep=args.deep_audit)
     print(
         f"committed {n} chunks ({pending_before} buckets were pending); audit: {audit}"
     )

@@ -108,6 +108,8 @@ class CheckpointedExtraction:
         ``max_chunks`` bounds work for tests (simulating a crash between
         chunk commits); production passes None and runs to completion.
         """
+        from ocr_spark.pipeline import metrics_agg
+
         pending = self.pending_buckets()
         chunks = [
             pending[i : i + self.chunk_buckets]
@@ -118,43 +120,55 @@ class CheckpointedExtraction:
 
         # Dynamic overwrite: INSERT OVERWRITE only touches the bucket
         # partitions present in the written frame (Iceberg's
-        # overwrite-by-filter snapshot in parquet form).
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-        src = _bucketed(self.input_df, self.buckets)
-        for chunk_id, chunk in enumerate(chunks):
-            subset = src.filter(F.col("bucket").isin(chunk))
-            extracted = extract_transcripts(
-                subset.drop("bucket"), salt=self.salt, reassemble=False
-            )
-            out = _bucketed(extracted, self.buckets)
-            out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
-            lineage_rows = (
-                out.groupBy("bucket")
-                .agg(
-                    F.min("conv_id").alias("conv_id_min"),
-                    F.max("conv_id").alias("conv_id_max"),
-                    F.min("turn_idx").alias("turn_idx_min"),
-                    F.max("turn_idx").alias("turn_idx_max"),
-                    F.count(F.lit(1)).alias("turn_count"),
-                    F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
-                    F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)).alias(
-                        "empty_count"
-                    ),
-                    F.sum(
-                        F.when(~F.col("status").isin("ok", "empty"), 1).otherwise(0)
-                    ).alias("failed_count"),
-                    F.sum("n_tokens").alias("token_count"),
-                    F.sum("n_fields").alias("field_count"),
+        # overwrite-by-filter snapshot in parquet form).  Saved/restored so
+        # the shared session's overwrite semantics aren't silently changed
+        # for later writers.
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = self.spark.conf.get(conf_key, None)
+        self.spark.conf.set(conf_key, "dynamic")
+        try:
+            src = _bucketed(self.input_df, self.buckets)
+            for chunk_id, chunk in enumerate(chunks):
+                subset = src.filter(F.col("bucket").isin(chunk))
+                extracted = extract_transcripts(
+                    subset.drop("bucket"), salt=self.salt, reassemble=False
                 )
-                .withColumn("run_id", F.lit(self.run_id))
-                .withColumn("chunk_id", F.lit(chunk_id))
-                .withColumn("committed_at", F.current_timestamp())
-            )
-            # lineage append AFTER data commit: a crash between the two
-            # leaves the bucket un-marked -> it is simply redone (and the
-            # dynamic overwrite makes the redo idempotent).
-            lineage_rows.write.mode("append").parquet(self.lineage_dir)
+                # persisted so the data write and the lineage aggregation
+                # share ONE kernel pass (not two)
+                out = _bucketed(extracted, self.buckets).persist()
+                out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
+                # lineage left-joined with the chunk's bucket list so
+                # buckets with zero input rows still get a (zeroed) lineage
+                # row — without it they would never be marked complete and
+                # every resume would rerun them forever.
+                chunk_df = self.spark.createDataFrame(
+                    [(int(b),) for b in chunk], "bucket INT"
+                )
+                agg = metrics_agg(out, "bucket")
+                lineage_rows = (
+                    chunk_df.join(agg, "bucket", "left")
+                    .fillna(
+                        0,
+                        subset=[
+                            "turn_count", "ok_count", "empty_count",
+                            "rejected_count", "failed_count",
+                            "token_count", "field_count",
+                        ],
+                    )
+                    .withColumn("run_id", F.lit(self.run_id))
+                    .withColumn("chunk_id", F.lit(chunk_id))
+                    .withColumn("committed_at", F.current_timestamp())
+                )
+                # lineage append AFTER data commit: a crash between the two
+                # leaves the bucket un-marked -> it is simply redone (and the
+                # dynamic overwrite makes the redo idempotent).
+                lineage_rows.write.mode("append").parquet(self.lineage_dir)
+                out.unpersist()
+        finally:
+            if prev_mode is None:
+                self.spark.conf.unset(conf_key)
+            else:
+                self.spark.conf.set(conf_key, prev_mode)
         return len(chunks)
 
     # -- audit --------------------------------------------------------------
@@ -170,12 +184,13 @@ class CheckpointedExtraction:
             "conv_turns", F.count(F.lit(1)).over(wc)
         )
 
-    def validate(self) -> dict:
-        """Coverage audit from lineage alone (no data rescan): every bucket
-        committed exactly once per run set, and turn totals match input."""
+    def validate(self, deep: bool = False) -> dict:
+        """Coverage audit from lineage alone (no input rescan): complete
+        iff every bucket has a lineage row.  ``deep=True`` additionally
+        rescans the input table to cross-check turn totals — a full input
+        scan, so at production scale reserve it for spot audits."""
         lin = self.lineage()
         done = self.completed_buckets()
-        n_input = self.input_df.count()
         n_lineage = (
             lin.groupBy("bucket").agg(F.max("turn_count").alias("tc")).agg(
                 F.sum("tc")
@@ -183,10 +198,14 @@ class CheckpointedExtraction:
             if lin is not None
             else 0
         )
-        return {
+        out = {
             "buckets_total": self.buckets,
             "buckets_done": len(done),
-            "input_turns": n_input,
             "lineage_turns": int(n_lineage or 0),
-            "complete": len(done) == self.buckets and int(n_lineage or 0) == n_input,
+            "complete": len(done) == self.buckets,
         }
+        if deep:
+            n_input = self.input_df.count()
+            out["input_turns"] = n_input
+            out["complete"] = out["complete"] and int(n_lineage or 0) == n_input
+        return out

@@ -77,10 +77,8 @@ def enrich_extracted(extracted: DataFrame, lexicon_words: list[str]) -> DataFram
         .withColumn("out_tok", F.coalesce(F.col("corrected"), F.col("token")))
         .withColumn("was_fixed", F.col("corrected").isNotNull().cast("int"))
     )
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
     per_turn = (
-        fixed.withColumn("rn", F.row_number().over(w))
-        .groupBy("conv_id", "turn_idx")
+        fixed.groupBy("conv_id", "turn_idx")
         .agg(
             F.concat_ws(
                 " ",

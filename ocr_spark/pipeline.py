@@ -91,34 +91,38 @@ def extract_transcripts(
     )
 
 
-def partition_metrics(extracted: DataFrame) -> DataFrame:
-    """Per-physical-partition lineage/metrics rows (flags model of
-    ``NFT_OCR.py:1470-1478`` generalized per north_rule).
+def metrics_agg(extracted: DataFrame, group_col: str) -> DataFrame:
+    """Shared lineage/metrics aggregation (flags model of
+    ``NFT_OCR.py:1470-1478`` generalized per north_rule): conv_id/turn
+    ranges + status counters + token/field totals per ``group_col``.
+    Used by both the per-physical-partition metrics below and the
+    per-bucket checkpoint lineage (ocr_spark/checkpoint.py) so the two
+    tables can never drift apart."""
+    return extracted.groupBy(group_col).agg(
+        F.min("conv_id").alias("conv_id_min"),
+        F.max("conv_id").alias("conv_id_max"),
+        F.min("turn_idx").alias("turn_idx_min"),
+        F.max("turn_idx").alias("turn_idx_max"),
+        F.count(F.lit(1)).alias("turn_count"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
+        F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)).alias("empty_count"),
+        F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias(
+            "rejected_count"
+        ),
+        F.sum(
+            F.when(~F.col("status").isin("ok", "empty", "rejected"), 1).otherwise(0)
+        ).alias("failed_count"),
+        F.sum("n_tokens").alias("token_count"),
+        F.sum("n_fields").alias("field_count"),
+    )
 
-    One row per executor partition: id, conv_id range, turn range, counters
-    by status, token totals — written alongside the output so a resumed job
-    can audit coverage without rescanning data.
-    """
-    return (
-        extracted.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
-        .agg(
-            F.min("conv_id").alias("conv_id_min"),
-            F.max("conv_id").alias("conv_id_max"),
-            F.min("turn_idx").alias("turn_idx_min"),
-            F.max("turn_idx").alias("turn_idx_max"),
-            F.count(F.lit(1)).alias("turn_count"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_count"),
-            F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)).alias("empty_count"),
-            F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias(
-                "rejected_count"
-            ),
-            F.sum(
-                F.when(~F.col("status").isin("ok", "empty", "rejected"), 1).otherwise(0)
-            ).alias("failed_count"),
-            F.sum("n_tokens").alias("token_count"),
-            F.sum("n_fields").alias("field_count"),
-        )
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-physical-partition lineage/metrics rows — one row per executor
+    partition, written alongside the output so a resumed job can audit
+    coverage without rescanning data."""
+    return metrics_agg(
+        extracted.withColumn("partition_id", F.spark_partition_id()), "partition_id"
     )
 
 

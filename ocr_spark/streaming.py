@@ -166,6 +166,7 @@ def conversation_progress(
 def turn_rate_metrics(
     spark: SparkSession,
     input_dir: str,
+    output_dir: str,
     checkpoint_dir: str,
     *,
     window: str = "10 minutes",
@@ -173,8 +174,10 @@ def turn_rate_metrics(
     watermark: str = "30 minutes",
 ):
     """Stateful streaming metric: turns ingested per event-time window,
-    with a watermark bounding state for late data.  Memory sink so tests
-    (and ops dashboards via the in-memory table) can read it."""
+    with a watermark bounding state for late data.  foreachBatch parquet
+    sink (the memory sink cannot recover from a checkpoint, so it would
+    break the second invocation of the resume pattern this module uses
+    everywhere else)."""
     src = stream_source(spark, input_dir)
     agg = (
         src.withWatermark("ts", watermark)
@@ -187,9 +190,12 @@ def turn_rate_metrics(
             "turns",
         )
     )
+
+    def _append(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(output_dir)
+
     return (
-        agg.writeStream.format("memory")
-        .queryName("turn_rates")
+        agg.writeStream.foreachBatch(_append)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)

@@ -69,3 +69,33 @@ def test_stable_turn_order_after_resume(spark, tmp_path):
     for _, grp in res.groupby("conv_id"):
         assert list(grp["turn_rank"]) == list(range(1, len(grp) + 1))
         assert list(grp["turn_idx"]) == sorted(grp["turn_idx"])
+
+
+def test_empty_buckets_complete_and_rerun_is_noop(spark, tmp_path):
+    """Regression: with far more buckets than conversations, the empty
+    buckets must still be marked complete — previously they never got a
+    lineage row, so validate() stayed incomplete and every 'resume' reran
+    full extraction chunks forever."""
+    pdf = synth.generate_local(3, shuffled=True)
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path / "ckpt_sparse")
+    job = CheckpointedExtraction(spark, sdf, out, buckets=32, chunk_buckets=8, salt=2)
+    job.run()
+    assert job.pending_buckets() == []
+    audit = job.validate(deep=True)
+    assert audit["complete"], audit
+    assert audit["lineage_turns"] == len(pdf)
+    # a fresh driver over the same output does nothing
+    job2 = CheckpointedExtraction(spark, sdf, out, buckets=32, chunk_buckets=8, salt=2)
+    assert job2.run() == 0
+
+
+def test_overwrite_mode_restored(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    pdf = synth.generate_local(4, shuffled=False)
+    job = CheckpointedExtraction(
+        spark, spark.createDataFrame(pdf), str(tmp_path / "c"), buckets=4,
+        chunk_buckets=4, salt=2,
+    )
+    job.run()
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC") == prev

@@ -88,13 +88,17 @@ def test_turn_rate_metrics_watermarked_windows(spark, tmp_path):
     from ocr_spark.streaming import turn_rate_metrics
 
     indir = str(tmp_path / "min")
+    outdir = str(tmp_path / "mout")
     ckpt = str(tmp_path / "mckpt")
     pdf = synth.generate_local(10, shuffled=True)
     _write_chunk(spark, pdf, indir)
 
-    q = turn_rate_metrics(spark, indir, ckpt, window="1 hour", slide="1 hour")
+    q = turn_rate_metrics(spark, indir, outdir, ckpt, window="1 hour", slide="1 hour")
     q.awaitTermination()
-    rows = spark.sql("SELECT * FROM turn_rates").collect()
+    # second invocation with the same checkpoint must recover (no new data)
+    q = turn_rate_metrics(spark, indir, outdir, ckpt, window="1 hour", slide="1 hour")
+    q.awaitTermination()
+    rows = spark.read.parquet(outdir).collect()
     # watermark append-mode emits only closed windows; every emitted count
     # must match a direct batch aggregation of the same input
     got = {(r.win_start, r.role): r.turns for r in rows}
