@@ -170,3 +170,33 @@ QUERIES = {
     "a8_distribution_stats": (a8_distribution_stats, A8_SQL),
     "a11_second_pass_gate": (a11_second_pass_gate, A11_SQL),
 }
+
+
+def a12_metrics_rollup(spark, sf_dir):
+    """Rollup reporting over the metrics dimensions (SURVEY §2.4 note:
+    grouping-sets/cube are optional roll-up reporting for the lineage
+    table): per (event_type, day) counts with subtotal and grand-total
+    rows via ROLLUP; grouping_id disambiguates NULL-as-subtotal from
+    NULL-as-value."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    return (
+        d.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+A12_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+QUERIES["a12_metrics_rollup"] = (a12_metrics_rollup, A12_SQL)
