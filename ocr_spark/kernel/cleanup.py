@@ -79,10 +79,13 @@ REJOIN = (
 # Patterns are kept as STRINGS (not pre-compiled re.Pattern): on a
 # pyarrow-backed Series, pandas routes string patterns to Arrow's RE2
 # kernels (C++, ~6x faster, measured); a compiled Python pattern forces
-# the per-row object fallback.  Every pattern stays inside the RE2∩re
-# common subset (no lookaround, no pattern backrefs), so both engines
-# match identically — pinned by the kernel unit tests and the parity
-# suite, which run this same code path through plain `re` via the oracle.
+# the per-row object fallback.  IMPORTANT: parity rests on there being
+# exactly ONE code path (oracle and UDF both call this function, so both
+# run RE2) — NOT on RE2 and Python `re` matching identically.  They do
+# not in general (e.g. `\b` is ASCII-only in RE2 but Unicode-aware in
+# `re`, so "15gñ" tokenizes differently), so never compile these
+# patterns or add an object-dtype fallback believing the tests would
+# catch the divergence.
 # CR-normalize then drop remaining C0/DEL controls (keep \n, \t): the
 # junk-character cleanup analog (NFT_OCR.py:751-773) for byte noise; also
 # guarantees spans/fields JSON never embeds a raw control character.

@@ -37,8 +37,33 @@ from ocr_spark.kernel.html import html_extract, looks_like_html
 from ocr_spark.kernel.layout import layout_extract, looks_like_layout
 
 _PARA_SPLIT_RE = re.compile(r"\n\s*\n")
-_VITAMIN_LINE_RE = re.compile(r"(?:\bvitamin [a-z]\b.*){2,}")
-_REJECT_MIN_LINES = 3
+
+# Faithful port of the reject-gate vocabulary and counting rule of
+# ``is_american_nft`` (NFT_OCR.py:959-978): for each vocabulary term, look
+# at the line of its FIRST occurrence; if another vocabulary term shares
+# that line, the term counts.  count >= 3 (">= 2 complete lines", or one
+# line with three terms) -> reject.
+_VIT_TERMS = (
+    "vitamin a", "vitamin c", "vitamin d", "vitamin b 6", "calcium", "iron",
+    "thiamin", "folate", "pantothenic", "phosphorus", "magnesium", "zinc",
+    "manganese", "niacin",
+)
+_VIT_RES = tuple(re.compile(r"\b" + re.escape(t) + r"\b") for t in _VIT_TERMS)
+_ANY_VIT_RE = re.compile("|".join(re.escape(t) for t in _VIT_TERMS))
+_REJECT_MIN_COUNT = 3
+
+
+def _is_american(text: str) -> bool:
+    lines = [ln for block in text.split("\n\n") for ln in block.split("\n")]
+    first_line: dict[str, int] = {}
+    line_terms: list[set[str]] = []
+    for idx, line in enumerate(lines):
+        present = {t for t, rx in zip(_VIT_TERMS, _VIT_RES) if rx.search(line)}
+        line_terms.append(present)
+        for t in present:
+            first_line.setdefault(t, idx)
+    count = sum(1 for t, ln in first_line.items() if len(line_terms[ln]) >= 2)
+    return count >= _REJECT_MIN_COUNT
 
 STATUS_OK = "ok"
 STATUS_EMPTY = "empty"
@@ -68,7 +93,9 @@ def _tool_output(raw: str) -> str | None:
     if isinstance(doc, dict):
         out = doc.get("output", "")
         return out if isinstance(out, str) else json.dumps(out, sort_keys=True)
-    return str(doc)
+    # non-dict JSON (list/number/null): canonical JSON text, same encoding
+    # as the nested non-string 'output' case above — never Python repr
+    return doc if isinstance(doc, str) else json.dumps(doc, sort_keys=True)
 
 
 def _spans_and_counts(
@@ -174,9 +201,14 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # 4. ordered cleanup chain (vectorized)
     cleaned = cleanup_series(raw)
 
-    # 5. document gate (is_american_nft port): count vitamin-dense lines
-    vit_lines = cleaned.str.count(_VITAMIN_LINE_RE)
-    reject_mask = (vit_lines >= _REJECT_MIN_LINES) & (status == STATUS_OK)
+    # 5. document gate (is_american_nft port, NFT_OCR.py:959-978); cheap
+    # vectorized prefilter, then the exact first-occurrence-line rule on
+    # the few candidate rows
+    has_vit = cleaned.str.contains(_ANY_VIT_RE, regex=True).fillna(False).astype(bool)
+    reject_mask = pd.Series(False, index=cleaned.index)
+    if has_vit.any():
+        reject_mask.loc[has_vit] = cleaned[has_vit].map(_is_american).astype(bool)
+    reject_mask = reject_mask & (status == STATUS_OK)
     status.loc[reject_mask] = STATUS_REJECTED
     cleaned = cleaned.where(~reject_mask, "")
     status.loc[(cleaned == "") & (status == STATUS_OK)] = STATUS_EMPTY

@@ -63,9 +63,12 @@ UNIT_WHITELIST = ("kcal", "mg", "ml", "ug", "g")
 _TERM_ALT = "|".join(re.escape(t) for t, _ in VOCAB)
 _UNIT_ALT = "|".join(UNIT_WHITELIST)
 
-# pass 1: term [:] [qty] [unit] [dv%]
+# pass 1: term [:] [qty] [unit] [dv%].  The qty group must NOT capture a
+# number that is immediately a percentage: the reference routes a bare
+# "term N %" to dv, not quantity (NFT_OCR.py:1222-1230 — "%" right after
+# the value means dv) — hence the (?![ ]?%) lookahead.
 _P1 = re.compile(
-    rf"\b(?P<term>{_TERM_ALT})\b:?(?:[ ]?(?P<qty>\d+(?:\.\d+)?)[ ]?"
+    rf"\b(?P<term>{_TERM_ALT})\b:?(?:[ ]?(?P<qty>\d+(?:\.\d+)?)(?![.\d])(?![ ]?%)[ ]?"
     rf"(?P<unit>{_UNIT_ALT})?\b)?(?:[ ]?(?P<dv>\d+(?:\.\d+)?)[ ]?%)?"
 )
 # pass 2 (scoped re-extract): qty [unit] term

@@ -15,8 +15,10 @@ parser), so the oracle and the vectorized batch path share it verbatim.
 Rules (canonical, documented so parity is testable):
 - content inside <script> <style> <noscript> <svg> <template> is dropped;
 - content inside <header> <footer> <nav> <aside> is dropped (any nesting);
-- block boundaries at: div p h1-h6 li ul ol table thead tbody tr td th
+- block boundaries at: div p h1-h6 li ul ol table thead tbody tr
   section article main blockquote pre br hr form figure figcaption;
+  td/th are CELL separators (joined into the row block with a space),
+  not block boundaries — the table row is the semantic line;
 - HTML comments are dropped; entities &amp; &lt; &gt; &quot; &#39; &nbsp;
   are decoded (in that order, after tag removal);
 - a block is KEPT iff  words >= MIN_WORDS  and  link_density <= MAX_LINK_D,
@@ -32,9 +34,15 @@ import re
 
 # Block-level boundary tags (opening or closing splits a block).
 _BLOCK_TAGS = frozenset(
-    """div p h1 h2 h3 h4 h5 h6 li ul ol table thead tbody tr td th section
+    """div p h1 h2 h3 h4 h5 h6 li ul ol table thead tbody tr section
     article main blockquote pre br hr form figure figcaption""".split()
 )
+# Cell tags join their content into the enclosing row block with a space
+# instead of starting a new block: a <td> holds 1-2 words ("25 g"), so
+# treating it as a block would drop every table cell under MIN_WORDS —
+# the table ROW is the semantic line (the reference's same-line grouping,
+# NFT_OCR.py:45-82).
+_CELL_TAGS = frozenset("td th".split())
 # Subtrees whose text is never content.
 _DROP_TAGS = frozenset("script style noscript svg template".split())
 # Structural chrome subtrees (the boilerplate the north rule targets).
@@ -133,12 +141,18 @@ def html_extract(html: str) -> list[str]:
                 elif not self_closing:
                     link_depth += 1
                 continue
+            if name in _CELL_TAGS:
+                parts.append(" ")  # cell separator within the row block
+                continue
             if name in _BLOCK_TAGS:
                 flush()
                 if name in _HEADING_TAGS and not closing:
                     heading = True
                     cur_heading = True
-                elif name in _HEADING_TAGS and closing:
+                else:
+                    # any non-heading block boundary ends a heading scope —
+                    # an unclosed <h*> must not leak its relaxed word floor
+                    # over the rest of the document
                     heading = False
             continue
         # text node

@@ -81,6 +81,8 @@ def layout_extract(payload: str) -> list[str]:
                         line_texts.append(txt)
                 if line_texts:
                     blocks_out.append("\n".join(line_texts))
-    except (TypeError, AttributeError):
+    except (TypeError, AttributeError, IndexError, KeyError):
+        # e.g. a bbox list with <2 elements — malformed payloads must
+        # degrade to [] (failure span), never crash the Arrow batch
         return []
     return blocks_out

@@ -197,9 +197,16 @@ def _p_absence_markers(h):
 
 
 def _p_reject_class(h):
-    lines = "\n".join(
-        f"vitamin a {i} % vitamin c {i + 1} %" for i in range(3 + _h(h, "r") % 2)
-    )
+    # >= 3 distinct gate-vocabulary terms co-occurring on first-seen lines
+    # (is_american_nft counts terms, not lines: one line with three terms
+    # or two complete pair-lines both trip it, NFT_OCR.py:959-978)
+    if _h(h, "r") % 2:
+        lines = f"vitamin a {h % 9} % vitamin c {h % 7} % vitamin d {h % 5} %"
+    else:
+        lines = (
+            f"calcium {h % 9} % iron {h % 7} %\n"
+            f"thiamin {h % 5} % niacin {h % 3} %"
+        )
     return f"nutrition facts us style\n{lines}"
 
 

@@ -190,7 +190,8 @@ def test_dv_percent():
 
 
 def test_reject_gate():  # is_american_nft port (F5)
-    text = "\n".join(["vitamin a 5 % vitamin c 10 %"] * 3)
+    # one line with three distinct gate terms (count >= 3, NFT_OCR.py:977)
+    text = "vitamin a 5 % vitamin c 10 % vitamin d 25 %\ncalcium 10 %"
     r = extract_turn(text)
     assert r["status"] == "rejected"
     assert r["extracted_text"] == ""
@@ -230,3 +231,36 @@ def test_generator_deterministic():
     g = a.groupby("conv_id")["turn_idx"]
     # contiguous turn_idx per conversation: max+1 == count
     assert ((g.max() + 1).to_numpy() == g.count().to_numpy()).all()
+
+
+def test_table_cells_joined_into_row():  # td/th are cell separators
+    html = "<table><tr><td>total fat</td><td>25 g</td><td>10 %</td></tr></table>"
+    assert html_extract(html) == ["total fat 25 g 10 %"]
+    f = fields("<table><tr><td>sodium</td><td>120 mg</td></tr></table>")
+    assert f["sodium"]["qty"] == "120"
+
+
+def test_dv_only_value():  # bare "term N %" is dv, not qty (NFT_OCR.py:1222-1230)
+    f = fields("calcium 20 %")
+    assert f["calcium"]["dv"] == "20"
+    assert f["calcium"]["qty"] == ""
+    f2 = fields("calcium 2.5 %")
+    assert f2["calcium"]["dv"] == "2.5"
+    assert f2["calcium"]["qty"] == ""
+
+
+def test_unclosed_heading_does_not_leak_floor():
+    html = "<h2>Intro<p>ok</p><p>buy</p><div>x y</div>"
+    assert html_extract(html) == ["Intro"]
+
+
+def test_malformed_bbox_is_failure_not_crash():
+    payload = '{"pages":[{"blocks":[{"bbox":[5],"lines":[{"y":1,"spans":[{"x":0,"text":"a"}]}]}]}]}'
+    assert layout_extract(payload) == []
+
+
+def test_tool_non_dict_payloads_canonical_json():
+    r = extract_turn("", tool='["top level content words here", "second"]', role="tool")
+    assert '"top level content words here"' in r["extracted_text"] or "top level" in r["extracted_text"]
+    rn = extract_turn("", tool="null", role="tool")
+    assert rn["extracted_text"] == "null"  # canonical JSON, not Python repr "None"
