@@ -45,7 +45,6 @@ def a4_countdistinct_collapse(spark, sf_dir):
             F.when(F.countDistinct("l_quantity") == 1, F.round(F.min("l_quantity"), 2))
             .alias("accepted_qty"),
         )
-        .filter(F.col("n_readings") >= 1)
     )
 
 

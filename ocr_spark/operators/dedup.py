@@ -180,10 +180,10 @@ mh AS (
   FROM sh CROSS JOIN params GROUP BY doc_id, i
 ),
 bands AS (
-  SELECT doc_id, CAST(i / 2 AS INTEGER) AS band,
+  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
          max(CASE WHEN i % 2 = 0 THEN mh END) AS s0,
          max(CASE WHEN i % 2 = 1 THEN mh END) AS s1
-  FROM mh GROUP BY doc_id, CAST(i / 2 AS INTEGER)
+  FROM mh GROUP BY doc_id, CAST(i // 2 AS INTEGER)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

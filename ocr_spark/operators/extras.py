@@ -609,8 +609,10 @@ def c21_array_map_access(spark, sf_dir):
     )
     return arr.select(
         "doc_id",
-        F.element_at(F.col("arr"), 1).word.alias("first_word"),
-        F.element_at(F.col("arr"), 3).word.alias("third_word"),
+        # try_element_at: ANSI mode (Spark 4 default) makes element_at
+        # throw on out-of-range; DuckDB's arr[3] yields NULL — match it
+        F.try_element_at(F.col("arr"), F.lit(1)).word.alias("first_word"),
+        F.try_element_at(F.col("arr"), F.lit(3)).word.alias("third_word"),
         F.size("arr").cast("bigint").alias("n"),
     )
 

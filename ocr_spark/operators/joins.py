@@ -60,9 +60,8 @@ def j2_fuzzy_unique_best(spark, sf_dir):
     best = pairs.withColumn("min_dist", F.min("dist").over(w)).filter(
         F.col("dist") == F.col("min_dist")
     )
-    wc = Window.partitionBy("token")
     return (
-        best.withColumn("n_best", F.count(F.lit(1)).over(wc))
+        best.withColumn("n_best", F.count(F.lit(1)).over(w))
         .filter(F.col("n_best") == 1)
         .select("token", F.col("lexword").alias("corrected"), "dist")
     )

@@ -72,7 +72,7 @@ def q3_shipping_priority(spark, sf_dir):
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
@@ -114,7 +114,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(dims), s.s_nationkey == dims.n_nationkey)
         .groupBy("n_name", "r_name")
         .agg(

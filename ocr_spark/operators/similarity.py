@@ -39,11 +39,6 @@ SELECT vec_id,
 FROM embeddings
 """
 
-_NORMS_SQL = f"""
-SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ({_COMPONENTS_SQL}) GROUP BY vec_id
-"""
-
-
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: queries = vec_id < N, candidates = all
     others; exact ranking with deterministic tie-break."""

@@ -271,19 +271,24 @@ def t3_argmax_by_length(spark, sf_dir):
     """T3 — argmax by length (widest candidate rule line per side,
     NFT_PreProcessing.py:179-198) via max_by."""
     ln = _lines(spark, sf_dir).withColumn("len2", F.col("x2") - F.col("x1"))
-    # unique score (length, then line_id) folded into one BIGINT so the
-    # argmax is deterministic in both engines even under length ties
-    return ln.groupBy("doc_id").agg(
-        F.max_by("line_id", F.col("len2") * 1000000 + F.col("line_id")).alias(
-            "widest_line"
-        )
+    # two-stage argmax (max width, then max line_id among the widest):
+    # deterministic under ties and safe at any id magnitude, unlike a
+    # width*K+id encoding which silently breaks once ids exceed K
+    widest = ln.groupBy("doc_id").agg(F.max("len2").alias("max_len"))
+    return (
+        ln.join(widest, "doc_id")
+        .filter(F.col("len2") == F.col("max_len"))
+        .groupBy("doc_id")
+        .agg(F.max("line_id").alias("widest_line"))
     )
 
 
 T3_SQL = f"""
-SELECT doc_id, CAST(arg_max(line_id, len2 * 1000000 + line_id) AS BIGINT) AS widest_line
-FROM (SELECT *, x2 - x1 AS len2 FROM ({_LINES_SQL}))
-GROUP BY doc_id
+WITH ln AS (SELECT *, x2 - x1 AS len2 FROM ({_LINES_SQL})),
+w AS (SELECT doc_id, max(len2) AS max_len FROM ln GROUP BY doc_id)
+SELECT ln.doc_id, max(line_id) AS widest_line
+FROM ln JOIN w ON ln.doc_id = w.doc_id AND ln.len2 = w.max_len
+GROUP BY ln.doc_id
 """
 
 

@@ -61,20 +61,25 @@ def c9_numeric_extract(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("bigint").alias("k_val"),
+        # nullif('') before the cast: a digitless props row must yield NULL,
+        # not an ANSI CAST_INVALID_INPUT abort (same guard as c16)
+        F.nullif(
+            F.regexp_extract(F.col("props"), r"(\d+)", 1), F.lit("")
+        ).cast("bigint").alias("k_val"),
     )
 
 
 C9_SQL = r"""
-SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val
+SELECT event_id, CAST(nullif(regexp_extract(props, '([0-9]+)', 1), '') AS BIGINT) AS k_val
 FROM events
 """
 
 
 def c12_normalize_chain(spark, sf_dir):
     """C12 — ordered multi-step normalization (preprocess_ingredients,
-    Ingredients_OCR.py:74-106): drop bracketed spans, fold separators to
-    commas, collapse whitespace — order-sensitive chain."""
+    Ingredients_OCR.py:74-106): fold and/or + bullet separators to commas,
+    collapse whitespace — order-sensitive chain (the bracket-span strip of
+    the same reference function lives in c1_c2_c3_cleanup_chain)."""
     d = load(spark, sf_dir, "documents")
     s = F.lower(F.col("text"))
     s = F.regexp_replace(s, r"\band\b|\bor\b", ",")

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ocr_spark.operators.dedup import _hash60, _hash60_sql
 from ocr_spark.operators.tables import load
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -134,12 +135,7 @@ def doc_winnowing(spark, sf_dir):
         w.withColumn("w2", F.lead("word", 1).over(seq))
         .withColumn("w3", F.lead("word", 2).over(seq))
         .filter(F.col("w3").isNotNull())
-        .withColumn(
-            "h",
-            F.conv(
-                F.substring(F.md5(F.concat_ws(" ", "word", "w2", "w3")), 1, 15), 16, 10
-            ).cast("bigint"),
-        )
+        .withColumn("h", _hash60(F.concat_ws(" ", "word", "w2", "w3")))
     )
     winmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     return (
@@ -149,7 +145,7 @@ def doc_winnowing(spark, sf_dir):
     )
 
 
-WINNOW_SQL = """
+WINNOW_SQL = f"""
 WITH w AS (
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
@@ -164,7 +160,7 @@ sh AS (
   FROM w
 ),
 hashed AS (
-  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+  SELECT doc_id, pos, {_hash60_sql('gram')} AS h
   FROM sh WHERE w3 IS NOT NULL
 )
 SELECT DISTINCT doc_id,
