@@ -178,6 +178,22 @@ def control_scaling(parquet, turns: int, lo: int, hi: int) -> dict:
     return out
 
 
+def _worker_sec(r: subprocess.CompletedProcess) -> float | None:
+    """Parse a --worker subprocess result; None on crash (OOM/JVM failure)
+    so a failed rep is skipped instead of killing the bench (which must
+    always print its single JSON line)."""
+    if r.returncode != 0 or not r.stdout.strip():
+        sys.stderr.write(
+            f"bench worker failed (rc={r.returncode}): {r.stderr[-500:] if r.stderr else ''}\n"
+        )
+        return None
+    try:
+        return float(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
+    except (ValueError, KeyError, IndexError):
+        sys.stderr.write(f"bench worker emitted unparsable output: {r.stdout[-200:]}\n")
+        return None
+
+
 def run_scaling(cpus: int) -> dict:
     """N vs 4N cores on identical input (sandbox stand-in for N vs 4N
     executors).  Default 2 vs 8: this VM throttles per-core throughput
@@ -224,10 +240,15 @@ def run_scaling(cpus: int) -> dict:
                 + [sys.executable, os.path.abspath(__file__), "--worker", str(k), parquet],
                 capture_output=True, text=True, timeout=1800,
             )
-            sec = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+            sec = _worker_sec(r)
+            if sec is None:
+                continue
             best[k] = min(best.get(k, 1e18), sec)
             allruns[k].append(sec)
     out = {"turns": turns, "convs": SCALE_CONVS, "levels": [lo, hi]}
+    if lo not in best or hi not in best:
+        out["error"] = "all scaling worker reps failed at one or both levels"
+        return out
     for k in (lo, hi):
         out[f"local[{k}]"] = {
             "sec": best[k],
@@ -250,8 +271,8 @@ def run_scaling(cpus: int) -> dict:
                 [sys.executable, os.path.abspath(__file__), "--worker", str(k), parquet],
                 capture_output=True, text=True, timeout=1800,
             )
-            sec = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
-            if sec < peak["sec"]:
+            sec = _worker_sec(r)
+            if sec is not None and sec < peak["sec"]:
                 peak = {"sec": sec, "cores": k}
     if peak["sec"] < 1e17:
         out["peak"] = {
@@ -334,7 +355,7 @@ def _write_bench_md(result: dict) -> None:
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
     ex = result.get("extraction")
-    if ex:
+    if ex and "error" not in ex:
         lo, hi = ex["levels"]
         lines += [
             "",

@@ -94,6 +94,21 @@ class CheckpointedExtraction:
         lin = self.lineage()
         if lin is None:
             return set()
+        # Resume guard: the bucketing scheme is part of the lineage contract.
+        # Resuming the same output with a different ``buckets`` would mix two
+        # hash schemes — stale data partitions from the old scheme survive
+        # dynamic overwrite (duplicates) while buckets "complete" under the
+        # old numbering cover different key sets under the new one (missing
+        # rows).  Each lineage row records its scheme; refuse a mismatch.
+        if "buckets" in lin.columns:
+            schemes = {r.buckets for r in lin.select("buckets").distinct().collect()}
+            if schemes - {self.buckets}:
+                raise ValueError(
+                    f"resume bucket-scheme mismatch: lineage at {self.lineage_dir} "
+                    f"was written with buckets={sorted(schemes)} but this run uses "
+                    f"buckets={self.buckets}; rerun with the original setting or "
+                    "use a fresh output_dir"
+                )
         return {r.bucket for r in lin.select("bucket").distinct().collect()}
 
     def pending_buckets(self) -> list[int]:
@@ -155,6 +170,7 @@ class CheckpointedExtraction:
                             "token_count", "field_count",
                         ],
                     )
+                    .withColumn("buckets", F.lit(self.buckets))
                     .withColumn("run_id", F.lit(self.run_id))
                     .withColumn("chunk_id", F.lit(chunk_id))
                     .withColumn("committed_at", F.current_timestamp())
@@ -188,7 +204,14 @@ class CheckpointedExtraction:
         """Coverage audit from lineage alone (no input rescan): complete
         iff every bucket has a lineage row.  ``deep=True`` additionally
         rescans the input table to cross-check turn totals — a full input
-        scan, so at production scale reserve it for spot audits."""
+        scan, so at production scale reserve it for spot audits.
+
+        The shallow check assumes a STATIC input between runs: if the input
+        table gained rows in already-committed buckets, lineage presence
+        alone cannot see them (those rows are never extracted yet the audit
+        reports complete).  Append-while-resuming inputs must either run
+        ``deep=True`` on the final chunk or route new data through a new
+        output_dir / run."""
         lin = self.lineage()
         done = self.completed_buckets()
         n_lineage = (

@@ -72,7 +72,11 @@ def q3_shipping_priority(spark, sf_dir):
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
     return (
-        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        # No broadcast hint on customer: it scales with sf (~3e9 rows at
+        # 100 TB-equivalent), so a mandatory broadcast would OOM the driver
+        # at scale and AQE cannot demote an explicit hint.  AQE still
+        # broadcasts it at small sf on its own.
+        l.join(o.join(c, o.o_custkey == c.c_custkey),
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(

@@ -107,6 +107,10 @@ def _conv_progress_fn(key, pdf_iter, state):
     """
     turns, max_idx, tools = state.get if state.exists else (0, -1, 0)
     for pdf in pdf_iter:
+        if len(pdf) == 0:
+            # With a state timeout configured, groups can fire with no data;
+            # int(pdf["turn_idx"].max()) would then be int(nan) -> ValueError.
+            continue
         turns += len(pdf)
         max_idx = max(max_idx, int(pdf["turn_idx"].max()))
         tools += int((pdf["role"] == "tool").sum())

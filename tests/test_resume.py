@@ -90,6 +90,28 @@ def test_empty_buckets_complete_and_rerun_is_noop(spark, tmp_path):
     assert job2.run() == 0
 
 
+def test_bucket_scheme_mismatch_refused(spark, tmp_path):
+    """Resuming the same output_dir with a different --buckets would mix
+    two hash schemes (duplicates from stale partitions + missing rows from
+    renumbered 'complete' buckets); the lineage records its scheme and a
+    mismatched resume must refuse to run."""
+    import pytest
+
+    pdf = synth.generate_local(6, shuffled=True)
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path / "ckpt_scheme")
+    CheckpointedExtraction(spark, sdf, out, buckets=8, chunk_buckets=4, salt=2).run(
+        max_chunks=1
+    )
+    bad = CheckpointedExtraction(spark, sdf, out, buckets=16, chunk_buckets=4, salt=2)
+    with pytest.raises(ValueError, match="bucket-scheme mismatch"):
+        bad.run()
+    # the original scheme still resumes fine
+    ok = CheckpointedExtraction(spark, sdf, out, buckets=8, chunk_buckets=4, salt=2)
+    ok.run()
+    assert ok.validate(deep=True)["complete"]
+
+
 def test_overwrite_mode_restored(spark, tmp_path):
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     pdf = synth.generate_local(4, shuffled=False)
