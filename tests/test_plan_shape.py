@@ -32,6 +32,20 @@ def test_pipeline_plan_shape(spark, tmp_path):
         assert cols == set(INPUT_COLUMNS), cols
 
 
+def test_dedup_candidate_joins_are_not_all_pairs(spark):
+    """Scale guard: simhash and embedding dedup generate candidate pairs
+    via equi-joins (pigeonhole segments / LSH buckets), never a cartesian
+    or broadcast-nested-loop product — the O(N^2) shape that cannot run at
+    10^9 docs."""
+    from ocr_spark.operators.dedup import dedup_embedding_lsh, dedup_simhash
+
+    sf_dir = "/root/testdata/sf0.001"
+    for fn in (dedup_simhash, dedup_embedding_lsh):
+        _, executed = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in executed, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in executed, fn.__name__
+
+
 def test_no_reassembly_means_single_shuffle(spark, tmp_path):
     path = str(tmp_path / "t2.parquet")
     spark.createDataFrame(synth.generate_local(10)).write.parquet(path)
