@@ -296,6 +296,57 @@ def run_scaling(cpus: int) -> dict:
     return out
 
 
+def ann_recall(spark, sf_dir: str) -> dict:
+    """recall@k of the bucketed ANN paths vs the brute-force ground truth
+    (the first number an ANN user asks), plus pair-recall of the
+    LSH-bucketed embedding dedup vs its exact all-pairs baseline.
+
+    Recall@k = mean over queries of |topk_approx ∩ topk_exact| / k.
+    Approximate variants are swept over their probe knob (multi-probe
+    radius for sign-LSH, nprobe for IVF) — the recall/cost trade a user
+    tunes at scale.  Dedup pair-recall runs at sf0.01 where the exact
+    all-pairs baseline is affordable."""
+    from ocr_spark.operators import dedup, similarity
+
+    truth = {}
+    for r in similarity.ann_cosine_topk(spark, sf_dir).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    k = similarity.TOP_K
+
+    def recall(df):
+        got = {}
+        for r in df.select("query_id", "cand_id").collect():
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        return round(
+            sum(len(got.get(q, set()) & t) / k for q, t in truth.items())
+            / len(truth),
+            3,
+        )
+
+    out = {"k": k, "n_queries": len(truth), "sf_dir": sf_dir}
+    for radius in (0, 1, 2):
+        out[f"lsh_radius{radius}"] = recall(
+            similarity.ann_lsh_bucketed(spark, sf_dir, probe_radius=radius)
+        )
+    for np_ in (1, 2, 4):
+        out[f"ivf_nprobe{np_}"] = recall(
+            similarity.ann_ivf_flat(spark, sf_dir, n_probe=np_)
+        )
+
+    dd_dir = "/root/testdata/sf0.01"
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding_cosine(spark, dd_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding_lsh(spark, dd_dir).collect()
+    }
+    out["dedup_emb_pairs_exact"] = len(exact)
+    out["dedup_emb_pair_recall"] = round(len(lsh & exact) / max(len(exact), 1), 3)
+    return out
+
+
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
@@ -326,6 +377,7 @@ def main() -> None:
         t0 = time.time()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 2)
+    recall = ann_recall(spark, sf_dir)
     spark.stop()
 
     result = {
@@ -334,6 +386,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "ann_recall": recall,
     }
     if do_scaling:
         result["extraction"] = run_scaling(cpus)
@@ -354,6 +407,39 @@ def _write_bench_md(result: dict) -> None:
         "| --- | --- |",
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
+    rc = result.get("ann_recall")
+    if rc:
+        lines += [
+            "",
+            f"## ANN recall@{rc['k']} vs brute-force ground truth "
+            f"({rc['n_queries']} queries, {rc['sf_dir']})",
+            "",
+            "| variant | probe setting | recall@k |",
+            "| --- | --- | --- |",
+        ]
+        for radius in (0, 1, 2):
+            key = f"lsh_radius{radius}"
+            if key in rc:
+                n_buckets = 1 + (8 * radius if radius else 0) + (28 if radius >= 2 else 0)
+                lines.append(
+                    f"| sign-LSH (8-bit, 256 buckets) | multi-probe radius {radius} "
+                    f"({n_buckets} buckets/query) | {rc[key]} |"
+                )
+        for np_ in (1, 2, 4):
+            key = f"ivf_nprobe{np_}"
+            if key in rc:
+                lines.append(f"| IVF-Flat (8 cells) | nprobe {np_} | {rc[key]} |")
+        if "dedup_emb_pair_recall" in rc:
+            lines += [
+                "",
+                f"Embedding-dedup pair recall (sf0.01): LSH-bucketed pair generation "
+                f"recovers **{rc['dedup_emb_pair_recall']}** of the "
+                f"{rc['dedup_emb_pairs_exact']} exact all-pairs matches at cos >= 0.4.  "
+                "(Near-dup thresholds in production are ~0.95 where sign agreement is "
+                "near-certain; at the synthetic corpus' 0.4 threshold bucketing is "
+                "intentionally lossy — the all-pairs baseline stays available for "
+                "recall audits at small sf.)",
+            ]
     ex = result.get("extraction")
     if ex and "error" not in ex:
         lo, hi = ex["levels"]

@@ -21,7 +21,24 @@ from ocr_spark.operators.tables import load
 
 N_QUERIES = 10
 TOP_K = 5
-SIGN_BITS = 4
+SIGN_BITS = 8  # 2^8 = 256 buckets
+PROBE_RADIUS = 1  # multi-probe: also search buckets within Hamming<=1
+
+
+def _probe_masks(radius: int) -> list[int]:
+    """XOR masks enumerating all buckets within Hamming ``radius`` of the
+    query's bucket (multi-probe LSH: the near-miss buckets that differ in
+    one borderline sign bit hold most of the lost neighbors)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(SIGN_BITS)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(SIGN_BITS)
+            for j in range(i + 1, SIGN_BITS)
+        ]
+    return masks
 
 
 def _components(spark, sf_dir):
@@ -96,10 +113,15 @@ SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
 
 
-def ann_lsh_bucketed(spark, sf_dir):
-    """Sign-LSH bucketed variant: 4 sign bits over the leading dimensions
-    define the bucket; candidates are searched only within the query's
-    bucket (the 100 TB path), then ranked exactly inside it."""
+def ann_lsh_bucketed(spark, sf_dir, probe_radius: int = PROBE_RADIUS):
+    """Sign-LSH bucketed + multi-probe variant: 8 sign bits over the
+    leading dimensions define 256 buckets; a query searches its own bucket
+    plus every bucket within Hamming ``probe_radius`` of it (the classic
+    multi-probe recall fix for fine bucketing), then ranks exact cosine
+    inside the probed set only.  At 10^9 vectors each bucket holds ~4M
+    vectors and a radius-1 probe scans 9/256 ~ 3.5% of the corpus; the
+    probe fan-out multiplies only the (tiny) query side before the join,
+    so the shuffle stays one hash partition on bucket."""
     e = load(spark, sf_dir, "embeddings")
     bucket = sum(
         (
@@ -115,18 +137,25 @@ def ann_lsh_bucketed(spark, sf_dir):
     norms = comp.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     )
-    q = comp_b.filter(F.col("vec_id") < N_QUERIES)
+    masks = _probe_masks(probe_radius)
+    # fan the query side out to its probe buckets (candidates stay put: a
+    # candidate lives in exactly one bucket, so probed pairs are unique)
+    q = (
+        comp_b.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("probe", F.col("bucket").bitwiseXOR(F.col("mask")))
+    )
     c = comp_b.filter(F.col("vec_id") >= N_QUERIES)
     dots = (
         q.alias("q")
         .join(
             c.alias("c"),
-            (F.col("q.idx") == F.col("c.idx")) & (F.col("q.bucket") == F.col("c.bucket")),
+            (F.col("q.idx") == F.col("c.idx")) & (F.col("q.probe") == F.col("c.bucket")),
         )
         .groupBy(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),
-            F.col("q.bucket").alias("bucket"),
+            F.col("c.bucket").alias("bucket"),
         )
         .agg(F.sum(F.col("q.v") * F.col("c.v")).alias("dot"))
     )
@@ -160,12 +189,18 @@ WITH buckets AS (
 comp AS ({_COMPONENTS_SQL}),
 compb AS (SELECT c.vec_id, c.idx, c.v, b.bucket FROM comp c JOIN buckets b USING (vec_id)),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+masks(mask) AS (VALUES {", ".join(f"({m})" for m in _probe_masks(PROBE_RADIUS))}),
+probed AS (
+  SELECT q.vec_id, q.idx, q.v, xor(q.bucket, m.mask) AS probe
+  FROM compb q CROSS JOIN masks m
+  WHERE q.vec_id < {N_QUERIES}
+),
 dots AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.bucket AS bucket,
          sum(q.v * c.v) AS dot
-  FROM compb q JOIN compb c ON q.idx = c.idx AND q.bucket = c.bucket
-  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
-  GROUP BY q.vec_id, c.vec_id, q.bucket
+  FROM probed q JOIN compb c ON q.idx = c.idx AND q.probe = c.bucket
+  WHERE c.vec_id >= {N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id, c.bucket
 ),
 cos AS (
   SELECT d.query_id, d.cand_id, d.bucket,
@@ -187,7 +222,7 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
-def ann_ivf_flat(spark, sf_dir):
+def ann_ivf_flat(spark, sf_dir, n_probe: int = N_PROBE):
     """IVF-Flat: coarse quantizer + probe-limited exact search (the other
     classic ANN scale path next to LSH).
 
@@ -218,7 +253,7 @@ def ann_ivf_flat(spark, sf_dir):
         "vec_id", F.col("cent_id").alias("cell")
     )
     probes = cells.filter(
-        (F.col("cell_rk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+        (F.col("cell_rk") <= n_probe) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
 
     norms = comp.groupBy("vec_id").agg(
