@@ -18,8 +18,19 @@ parser): a JSON document
 Blocks may arrive out of reading order (the fixture generator shuffles them);
 the canonical order restored here is:
 
-    pages by ``page`` asc -> blocks by (y0, x0) asc -> lines by ``y`` asc
-    -> spans by ``x`` asc
+    pages by ``page`` asc -> blocks in band/column order (below) -> lines by
+    ``y`` asc -> spans by ``x`` asc
+
+Block order handles multi-column pages (the reference's same-baseline
+grouping, ``NFT_OCR.py:45-82``, lifted from lines to blocks): blocks are
+clustered into horizontal BANDS by transitive y-interval overlap, bands
+read top-to-bottom, and within a band blocks read left-to-right by
+(x0, y0).  A full-width title is its own band (read first); two
+side-by-side columns y-overlap transitively into one band and come out
+column-major (all of the left column, then the right) — exactly the
+two-column reading order.  Pages whose blocks never overlap vertically
+degenerate to the old (y0, x0) order, so single-column payloads are
+byte-identical to the previous behavior.
 
 Lines whose spans sit within ``LINE_GAP`` of each other's y are merged into
 one visual line (the same-line predicate of ``NFT_OCR.py:45-82`` with the
@@ -32,6 +43,30 @@ from __future__ import annotations
 import json
 
 LINE_GAP = 4  # max |y_i - y_j| for two line records to merge into one line
+
+
+def _order_blocks(blocks: list[dict]) -> list[dict]:
+    """Band/column reading order (module docstring).  Malformed bboxes
+    (non-list, <4 elements) raise to the caller's failure handler, like
+    the previous direct indexing did."""
+    def bbox(b):
+        bb = b.get("bbox", [0, 0, 0, 0])
+        return bb[0], bb[1], bb[2], bb[3]
+
+    by_y = sorted(blocks, key=lambda b: (bbox(b)[1], bbox(b)[0]))
+    bands: list[list] = []  # [band_max_y1, [blocks...]]
+    for b in by_y:
+        _, y0, _, y1 = bbox(b)
+        if bands and y0 < bands[-1][0]:
+            bands[-1][1].append(b)
+            bands[-1][0] = max(bands[-1][0], y1)
+        else:
+            bands.append([y1, [b]])
+    ordered: list[dict] = []
+    for _, grp in bands:
+        grp.sort(key=lambda b: (bbox(b)[0], bbox(b)[1]))
+        ordered.extend(grp)
+    return ordered
 
 
 def looks_like_layout(text: str) -> bool:
@@ -57,11 +92,7 @@ def layout_extract(payload: str) -> list[str]:
     try:
         for page in sorted(pages, key=lambda p: p.get("page", 0)):
             blocks = page.get("blocks", [])
-            ordered = sorted(
-                blocks,
-                key=lambda b: (b.get("bbox", [0, 0, 0, 0])[1], b.get("bbox", [0, 0, 0, 0])[0]),
-            )
-            for blk in ordered:
+            for blk in _order_blocks(blocks):
                 lines = blk.get("lines", [])
                 # greedy same-line merge on y proximity, then top-to-bottom
                 recs = sorted(lines, key=lambda ln: ln.get("y", 0))

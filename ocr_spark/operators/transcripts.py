@@ -26,13 +26,14 @@ from ocr_spark.synth import generate_spark
 
 N_CONVS = 150
 
+# line-grouped columnar span records (see kernel/extract.py
+# _spans_and_counts): token pos is implicit in the "t" array index
 SPAN_SCHEMA = ArrayType(
     StructType(
         [
             StructField("b", IntegerType()),
             StructField("l", IntegerType()),
-            StructField("p", IntegerType()),
-            StructField("t", StringType()),
+            StructField("t", ArrayType(StringType())),
         ]
     )
 )
@@ -98,19 +99,18 @@ def extract_spans_typed(spark, sf_dir):
     operator consumes."""
     df = generate_spark(spark, N_CONVS, partitions=8)
     out = extract_transcripts(df, salt=8, reassemble=False)
-    spans = out.select(
+    lines = out.select(
         "conv_id",
         "turn_idx",
         F.explode(F.from_json(F.col("spans_json"), SPAN_SCHEMA)).alias("s"),
     )
-    return spans.select(
+    return lines.select(
         "conv_id",
         "turn_idx",
         F.col("s.b").alias("block_id"),
         F.col("s.l").alias("line_id"),
-        F.col("s.p").alias("pos"),
-        F.col("s.t").alias("token"),
-    )
+        F.posexplode(F.col("s.t")).alias("pos", "token"),
+    ).select("conv_id", "turn_idx", "block_id", "line_id", "pos", "token")
 
 
 def extract_lineage(spark, sf_dir):

@@ -33,6 +33,7 @@ CLASSES = (
     "html_boilerplate",
     "html_tables_rules",
     "pdf_layoutish",
+    "pdf_two_column",
     "bilingual_slash",
     "glued_tokens",
     "ocr_confusions",
@@ -141,6 +142,47 @@ def _p_pdf_layoutish(h):
     return json.dumps({"pages": [{"page": 1, "blocks": [blocks[i] for i in order]}]})
 
 
+def _p_pdf_two_column(h):
+    """Two-column page: full-width title band, then a left column of two
+    stacked blocks and a right column block whose y-ranges overlap — the
+    kernel's band/column order must read title, left top-to-bottom, then
+    right (layout.py _order_blocks), regardless of payload block order."""
+    title = {
+        "bbox": [10, 10, 590, 40],
+        "lines": [
+            {
+                "y": 14,
+                "spans": [
+                    {"x": 200, "text": "facts"},
+                    {"x": 10, "text": "two column nutrition"},
+                ],
+            }
+        ],
+    }
+    l1 = {
+        "bbox": [10, 60, 280, 140],
+        "lines": [
+            {"y": 64, "spans": [{"x": 10, "text": "calories"}, {"x": 90, "text": f"{_qty(h, 100, 300)}"}]},
+            {"y": 84, "spans": [{"x": 10, "text": "total fat"}, {"x": 90, "text": f"{_qty(h)} g"}]},
+        ],
+    }
+    l2 = {
+        "bbox": [10, 150, 280, 220],
+        "lines": [{"y": 154, "spans": [{"x": 10, "text": f"fibre {_qty(h + 2)} g"}]}],
+    }
+    r1 = {
+        "bbox": [310, 60, 590, 220],
+        "lines": [
+            {"y": 64, "spans": [{"x": 310, "text": "sodium"}, {"x": 420, "text": f"{_qty(h, 100, 400)} mg"}]},
+            {"y": 84, "spans": [{"x": 310, "text": f"protein {_qty(h + 1)} g"}]},
+        ],
+    }
+    blocks = [title, l1, l2, r1]
+    perms = ([3, 1, 0, 2], [2, 3, 1, 0], [1, 2, 3, 0], [0, 3, 2, 1])
+    order = perms[_h(h, "ord2") % len(perms)]
+    return json.dumps({"pages": [{"page": 1, "blocks": [blocks[i] for i in order]}]})
+
+
 def _p_bilingual_slash(h):
     q = _qty(h)
     return (
@@ -236,6 +278,7 @@ _BUILDERS = {
     "html_boilerplate": _p_html_boilerplate,
     "html_tables_rules": _p_html_tables_rules,
     "pdf_layoutish": _p_pdf_layoutish,
+    "pdf_two_column": _p_pdf_two_column,
     "bilingual_slash": _p_bilingual_slash,
     "glued_tokens": _p_glued_tokens,
     "ocr_confusions": _p_ocr_confusions,

@@ -109,6 +109,34 @@ def test_layout_malformed_is_failure_not_crash():
     assert layout_extract('{"pages": "nope"}') == []
 
 
+def test_layout_two_column_reading_order():
+    """Band/column order: full-width title first, then the left column
+    top-to-bottom, then the right column — NOT global y-order (which would
+    interleave the columns)."""
+    title = {"bbox": [10, 10, 590, 40], "lines": [{"y": 14, "spans": [{"x": 10, "text": "title"}]}]}
+    l1 = {"bbox": [10, 60, 280, 140], "lines": [{"y": 64, "spans": [{"x": 10, "text": "left one"}]}]}
+    l2 = {"bbox": [10, 150, 280, 220], "lines": [{"y": 154, "spans": [{"x": 10, "text": "left two"}]}]}
+    r1 = {"bbox": [310, 60, 590, 220], "lines": [{"y": 64, "spans": [{"x": 310, "text": "right one"}]}]}
+    # worst-case payload order: right column first, interleaved
+    payload = json.dumps({"pages": [{"page": 1, "blocks": [r1, l2, title, l1]}]})
+    assert layout_extract(payload) == ["title", "left one", "left two", "right one"]
+
+
+def test_layout_two_column_synth_class_deterministic():
+    from ocr_spark.synth import _p_pdf_two_column
+
+    out = layout_extract(_p_pdf_two_column(12345))
+    # title band, then left column (calories/fat then fibre), then right
+    assert out[0].startswith("two column nutrition facts")
+    assert out[1].startswith("calories")
+    assert "total fat" in out[1]
+    assert out[2].startswith("fibre")
+    assert out[3].startswith("sodium")
+    assert "protein" in out[3]
+    # permutation-independent: same h -> same payload -> same extraction
+    assert layout_extract(_p_pdf_two_column(12345)) == out
+
+
 # --- cleanup chain (ordered; clean_up_ocr NFT_OCR.py:787-809) --------------
 
 def test_units_star_and_gt_gf():  # test_units_star port
