@@ -15,8 +15,8 @@ Two workloads:
    (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 2. The extraction pipeline (the north-star job) over deterministic
    synthetic transcripts, run in fresh subprocess JVMs at parallelism N
-   and 4N cores (default 2 vs 8 — the sandbox stand-in for an N- vs
-   4N-executor cluster per the driver instruction), each process tree
+   and 4N cores (default 8 vs 32 — the mandated local[8]/local[32]
+   stand-in for an N- vs 4N-executor cluster), each process tree
    CPU-pinned to exactly its core budget, interleaved best-of-reps per
    level, with a no-Spark multiprocessing control on the same input.
    Reports turns/sec at both levels, scaling efficiency
@@ -83,10 +83,11 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def _ensure_transcripts(cpus: int) -> tuple[str, int]:
+def _ensure_transcripts(cpus: int, convs: int | None = None) -> tuple[str, int]:
     """Generate (once) the deterministic synthetic transcripts parquet used
     by both scaling runs; identical input at both parallelism levels."""
-    path = os.path.join(BENCH_DIR, f"transcripts_{SCALE_CONVS}.parquet")
+    convs = convs or SCALE_CONVS
+    path = os.path.join(BENCH_DIR, f"transcripts_{convs}.parquet")
     meta = path + ".meta.json"
     if os.path.exists(meta):
         with open(meta) as f:
@@ -96,12 +97,12 @@ def _ensure_transcripts(cpus: int) -> tuple[str, int]:
 
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    df = synth.generate_spark(spark, SCALE_CONVS, partitions=cpus * 4)
+    df = synth.generate_spark(spark, convs, partitions=cpus * 4)
     df.write.mode("overwrite").parquet(path)
     turns = spark.read.parquet(path).count()
     spark.stop()
     with open(meta, "w") as f:
-        json.dump({"turns": turns, "convs": SCALE_CONVS}, f)
+        json.dump({"turns": turns, "convs": convs}, f)
     return path, turns
 
 
@@ -111,18 +112,20 @@ def worker(cpus: int, parquet: str) -> None:
     Timing covers the job only: session startup and a small warmup job
     (forks the Python workers, JITs codegen) are excluded — on a real
     cluster executors and their Python workers are long-lived, so this is
-    a fixed cost, not throughput.  ``partitions=4*cpus`` gives ~4 task
-    waves so the heavy-tailed conversation-length skew can't make the
-    slowest single task set the wall time.
+    a fixed cost, not throughput.  ``partitions=2*cpus`` gives 2 task
+    waves — enough that the heavy-tailed conversation-length skew can't
+    make one task set the wall time, while keeping per-task Arrow batches
+    large (measured: 2x beat both 1x and 4x at local[32]; the extra task
+    launches + smaller batches of 4x cost ~20% at high core counts).
     """
     from ocr_spark.pipeline import extract_transcripts
 
-    spark = _session(cpus, shuffle_partitions=4 * cpus)
+    spark = _session(cpus, shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(parquet)
     _force(extract_transcripts(df.limit(3000), salt=2, partitions=cpus))
     t0 = time.time()
-    _force(extract_transcripts(df, salt=8, partitions=4 * cpus))
+    _force(extract_transcripts(df, salt=8, partitions=2 * cpus))
     dt = time.time() - t0
     spark.stop()
     print(json.dumps({"cpus": cpus, "sec": round(dt, 2)}))
@@ -140,42 +143,41 @@ def _control_worker(args):
     return hi - lo
 
 
-def control_scaling(parquet, turns: int, lo: int, hi: int) -> dict:
-    """Pure-Python multiprocessing run of the SAME kernel on the SAME input
-    at both parallelism levels — measures the machine's own scaling ceiling
-    (this Firecracker VM shows host CPU-steal noise and per-core slowdown
-    under load that a real multi-executor cluster would not), so Spark's
-    efficiency can be read against the hardware's, not an ideal 1.0."""
-    import multiprocessing as mp
-
+def _load_control_pdf(parquet) -> None:
     import pyarrow.parquet as pq
 
     global _CONTROL_PDF
     _CONTROL_PDF = pq.read_table(parquet).to_pandas()
-    out = {}
+
+
+def control_once(turns: int, k: int) -> float:
+    """One pure-Python multiprocessing run of the SAME kernel on the SAME
+    input at parallelism k — a sample of the machine's own ceiling (this
+    Firecracker VM shows host CPU-steal noise and per-core slowdown when
+    >16 of 32 cores are busy, artifacts a real multi-executor cluster does
+    not have), so Spark's efficiency can be read against the hardware's,
+    not an ideal 1.0.  Interleave these with the Spark runs and best-of
+    per level: a single control sample per level can land in opposite
+    steal windows and report a nonsense (even superlinear) ceiling."""
+    import multiprocessing as mp
+
     total = os.cpu_count() or 32
     base_affinity = os.sched_getaffinity(0)
-    for k in (lo, hi):
-        nchunk = 4 * k
-        step = (turns + nchunk - 1) // nchunk
-        chunks = [(i, min(i + step, turns)) for i in range(0, turns, step)]
-        # pin the pool (children inherit at fork) to the SAME high-core
-        # range the Spark run at this level used — without this the
-        # control floats to whatever cores are quiet and systematically
-        # beats the pinned Spark runs, skewing the normalization
-        os.sched_setaffinity(0, set(range(total - k, total)))
-        try:
-            with mp.Pool(k) as pool:
-                t0 = time.time()
-                pool.map(_control_worker, chunks)
-                dt = time.time() - t0
-        finally:
-            os.sched_setaffinity(0, base_affinity)
-        out[f"mp[{k}]"] = {"sec": round(dt, 2), "turns_per_sec": round(turns / dt, 1)}
-    out["efficiency"] = round(
-        out[f"mp[{hi}]"]["turns_per_sec"] / ((hi / lo) * out[f"mp[{lo}]"]["turns_per_sec"]), 3
-    )
-    return out
+    nchunk = 4 * k
+    step = (turns + nchunk - 1) // nchunk
+    chunks = [(i, min(i + step, turns)) for i in range(0, turns, step)]
+    # pin the pool (children inherit at fork) to the SAME high-core range
+    # the Spark run at this level used — without this the control floats
+    # to whatever cores are quiet and systematically beats the pinned
+    # Spark runs, skewing the normalization
+    os.sched_setaffinity(0, set(range(total - k, total)))
+    try:
+        with mp.Pool(k) as pool:
+            t0 = time.time()
+            pool.map(_control_worker, chunks)
+            return time.time() - t0
+    finally:
+        os.sched_setaffinity(0, base_affinity)
 
 
 def _worker_sec(r: subprocess.CompletedProcess) -> float | None:
@@ -196,33 +198,100 @@ def _worker_sec(r: subprocess.CompletedProcess) -> float | None:
 
 def run_scaling(cpus: int) -> dict:
     """N vs 4N cores on identical input (sandbox stand-in for N vs 4N
-    executors).  Default 2 vs 8: this VM throttles per-core throughput
-    ~25-30% once more than ~16 of its 32 cores are busy (measured with a
-    no-Spark multiprocessing control), and at local[16] the JVM's own
-    threads (Arrow exchange, shuffle) push total busy cores past that
-    knee — a single-box power artifact with no analog on a multi-node
-    cluster, where each executor owns its cores.  At 2 and 8 both runs
-    (JVM overhead included) stay inside the flat region, so the number
-    measures the job's parallel scaling, not the VM's power envelope.
+    executors), at the mandated levels local[8] vs local[32].
+
+    Caveat this machine measures alongside itself: the VM throttles
+    per-core throughput ~15-30% once more than ~16 of its 32 cores are
+    busy (a single-box power/bandwidth artifact with no analog on a
+    multi-node cluster, where each executor owns its cores and memory
+    bus).  The no-Spark multiprocessing control runs the SAME kernel on
+    the SAME input at both levels to measure that hardware ceiling
+    directly — mp has no scheduler, no shuffle, no JVM, so its 8->32
+    efficiency IS the machine's; `normalized_efficiency` = spark eff /
+    control eff reads Spark's scaling against what the box permits.
     Runs are interleaved best-of-N per level (host CPU steal swings
     single runs by ±30%; all rep times are reported so the spread is
-    visible); the control is reported alongside and
-    `normalized_efficiency` = spark eff / control eff."""
-    parquet, turns = _ensure_transcripts(cpus)
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(max(2, cpus // 16))))
-    hi = 4 * lo
-    # 3 interleaved reps, best-of per level: host CPU-steal windows last
-    # minutes, so sampling each level across ~6 min and keeping the best
-    # approximates the steal-free number at both levels.
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    visible)."""
     import shutil
 
     taskset = shutil.which("taskset")
     # soft deadline: finish at least one rep per level, skip later reps
     # if the bench is running long (driver-side time budgets are unknown)
-    deadline = _T0 + float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "330"))
+    deadline = _T0 + float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "390"))
+
+    # primary: the mandated local[8] vs local[32]
+    parquet, turns = _ensure_transcripts(cpus)
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(max(2, cpus // 4))))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    out = _measure_pair(parquet, turns, lo, 4 * lo, reps, deadline, taskset)
+    out["convs"] = SCALE_CONVS
+
+    # secondary: the same job at N=2 vs 4N=8 — BOTH levels inside the VM's
+    # flat (unthrottled, <16 busy cores) region, so this pair shows the
+    # JOB's parallel scaling where the box itself can scale ~1.0.  Smaller
+    # corpus keeps the local[2] runs inside the time budget; scaling
+    # efficiency is a ratio, so corpus size cancels out.  Runs before the
+    # peak probe — the efficiency evidence outranks the vanity number.
+    lo2 = int(os.environ.get("SPARK_GRAFT_SCALE_N2", "2"))
+    if lo2 and 4 * lo2 != 4 * lo and time.time() < deadline:
+        # 20k convs (~106k turns): big enough that fixed per-job overhead
+        # (~2.5s) stays small next to the local[2] kernel time; 12k was
+        # measured to understate efficiency at local[8] for this reason
+        convs2 = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS2", "20000"))
+        pq2, turns2 = _ensure_transcripts(cpus, convs2)
+        sec_pair = _measure_pair(
+            pq2, turns2, lo2, 4 * lo2, min(reps, 2), deadline + 60, taskset
+        )
+        sec_pair["convs"] = convs2
+        out["secondary"] = sec_pair
+
+    # absolute-throughput point: best unpinned run over {16, all} cores
+    # (above ~16 busy cores this VM throttles per-core ~30%, so 16 often
+    # beats 32 here; a real cluster adds executors instead).  Like the
+    # rep loop, skipped when past the soft deadline.
+    peak = {"sec": 1e18, "cores": cpus}
+    for k in dict.fromkeys((min(16, cpus), cpus)):
+        if time.time() > deadline + 90:
+            break
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(k), parquet],
+            capture_output=True, text=True, timeout=1800,
+        )
+        sec = _worker_sec(r)
+        if sec is not None and sec < peak["sec"]:
+            peak = {"sec": sec, "cores": k}
+    if peak["sec"] < 1e17:
+        out["peak"] = {
+            "cores": peak["cores"],
+            "sec": peak["sec"],
+            "turns_per_sec": round(turns / peak["sec"], 1),
+        }
+    return out
+
+
+def _measure_pair(
+    parquet: str,
+    turns: int,
+    lo: int,
+    hi: int,
+    reps: int,
+    deadline: float,
+    taskset: str | None,
+) -> dict:
+    """Interleaved best-of-reps measurement of one (lo, hi) level pair:
+    each rep runs spark@lo, spark@hi, mp-control@lo, mp-control@hi
+    back-to-back so all four sample the same steal window; best-of per
+    series approximates the steal-free number (all rep times reported)."""
+    parquet_files = [
+        os.path.join(parquet, f)
+        for f in sorted(os.listdir(parquet))
+        if f.endswith(".parquet")
+    ]
+    _load_control_pdf(parquet_files)
     best: dict[int, float] = {}
     allruns: dict[int, list[float]] = {lo: [], hi: []}
+    ctl_best: dict[int, float] = {}
+    ctl_runs: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(reps):
         if rep > 0 and time.time() > deadline:
             break
@@ -245,7 +314,15 @@ def run_scaling(cpus: int) -> dict:
                 continue
             best[k] = min(best.get(k, 1e18), sec)
             allruns[k].append(sec)
-    out = {"turns": turns, "convs": SCALE_CONVS, "levels": [lo, hi]}
+        # the mp control samples the same steal window as the Spark reps
+        # just above — one control sample per level taken after all Spark
+        # reps can land in an opposite window and report a nonsense
+        # (even superlinear) hardware ceiling
+        for k in (lo, hi):
+            sec = control_once(turns, k)
+            ctl_best[k] = min(ctl_best.get(k, 1e18), sec)
+            ctl_runs[k].append(round(sec, 2))
+    out = {"turns": turns, "levels": [lo, hi]}
     if lo not in best or hi not in best:
         out["error"] = "all scaling worker reps failed at one or both levels"
         return out
@@ -258,37 +335,19 @@ def run_scaling(cpus: int) -> dict:
     tput_lo = out[f"local[{lo}]"]["turns_per_sec"]
     tput_hi = out[f"local[{hi}]"]["turns_per_sec"]
     out["scaling_efficiency"] = round(tput_hi / ((hi / lo) * tput_lo), 3)
-    # absolute-throughput point: best unpinned run over {16, all} cores x2
-    # (above ~16 busy cores this VM throttles per-core ~30%, so 16 often
-    # beats 32 here; a real cluster adds executors instead).  Like the
-    # rep loop, skipped when past the soft deadline.
-    peak = {"sec": 1e18, "cores": cpus}
-    for k in dict.fromkeys((min(16, cpus), cpus)):
-        for _ in range(2):
-            if time.time() > deadline + 90:
-                break
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(k), parquet],
-                capture_output=True, text=True, timeout=1800,
-            )
-            sec = _worker_sec(r)
-            if sec is not None and sec < peak["sec"]:
-                peak = {"sec": sec, "cores": k}
-    if peak["sec"] < 1e17:
-        out["peak"] = {
-            "cores": peak["cores"],
-            "sec": peak["sec"],
-            "turns_per_sec": round(turns / peak["sec"], 1),
-        }
-    parquet_file = [
-        os.path.join(parquet, f) for f in sorted(os.listdir(parquet)) if f.endswith(".parquet")
-    ]
-    ctl = (
-        control_scaling(parquet_file, turns, lo, hi)
-        if parquet_file and time.time() < deadline + 150
-        else None
-    )
-    if ctl:
+    if lo in ctl_best and hi in ctl_best:
+        ctl = {}
+        for k in (lo, hi):
+            ctl[f"mp[{k}]"] = {
+                "sec": round(ctl_best[k], 2),
+                "turns_per_sec": round(turns / ctl_best[k], 1),
+                "all_runs_sec": ctl_runs[k],
+            }
+        ctl["efficiency"] = round(
+            ctl[f"mp[{hi}]"]["turns_per_sec"]
+            / ((hi / lo) * ctl[f"mp[{lo}]"]["turns_per_sec"]),
+            3,
+        )
         out["control"] = ctl
         out["normalized_efficiency"] = round(
             out["scaling_efficiency"] / ctl["efficiency"], 3
@@ -442,24 +501,27 @@ def _write_bench_md(result: dict) -> None:
             ]
     ex = result.get("extraction")
     if ex and "error" not in ex:
-        lo, hi = ex["levels"]
         lines += [
             "",
             "## Extraction scaling (north rule: efficiency >= 0.8 from N to 4N)",
             "",
-            f"Same job, same input ({ex['turns']:,} turns, {ex['convs']:,} "
-            "conversations, deterministic synthetic transcripts), two fresh JVMs, "
-            "each process tree CPU-pinned (`taskset`) to exactly its core budget "
-            "(the executor model: JVM overhead counted fairly at both levels) — "
-            f"`local[{lo}]` standing in for N executors, `local[{hi}]` for 4N:",
+            "Two level pairs, each measured identically (fresh JVM per run, "
+            "process tree CPU-pinned via `taskset` to exactly its core budget — "
+            "the executor model; interleaved best-of-reps with the mp control "
+            "sampled in the same steal window; every rep's time shown):",
             "",
-            "| parallelism | wall sec | turns/sec |",
-            "| --- | --- | --- |",
-            f"| local[{lo}] | {ex[f'local[{lo}]']['sec']} | {ex[f'local[{lo}]']['turns_per_sec']} |",
-            f"| local[{hi}] | {ex[f'local[{hi}]']['sec']} | {ex[f'local[{hi}]']['turns_per_sec']} |",
-            "",
-            f"**Scaling efficiency (N -> 4N): {ex['scaling_efficiency']}**",
+            "- **Primary, the mandated `local[8]` vs `local[32]`** — the 32-core "
+            "level sits ABOVE this VM's ~16-busy-core throttle knee, so the "
+            "hardware itself cannot scale 1.0 here; the no-Spark mp control "
+            "measures that ceiling and the normalized number reads Spark "
+            "against it.",
+            "- **Secondary, `local[2]` vs `local[8]`** — both levels inside the "
+            "VM's flat region: the pair that shows the JOB's own parallel "
+            "scaling when the box permits scaling at all.  On a real cluster "
+            "every executor owns its cores and memory bus, so all levels look "
+            "like the flat region (SCALE.md §7).",
         ]
+        lines += _pair_lines(ex, "Primary pair: local[8] vs local[32] (mandated levels)")
         pk = ex.get("peak")
         if pk:
             lines += [
@@ -471,26 +533,51 @@ def _write_bench_md(result: dict) -> None:
                 "(SURVEY.md §6) — this is four to five orders of magnitude "
                 "higher at equal hardware scale-fairness (single machine).",
             ]
-        ctl = ex.get("control")
-        if ctl:
-            lines += [
-                "",
-                "Hardware control — the same kernel on the same input via plain",
-                "`multiprocessing` (no Spark), measuring this single VM's own",
-                "scaling ceiling (host CPU steal + per-core throttling under load,",
-                "artifacts a multi-node cluster does not have):",
-                "",
-                "| procs | sec | turns/sec |",
-                "| --- | --- | --- |",
-                f"| {lo} | {ctl[f'mp[{lo}]']['sec']} | {ctl[f'mp[{lo}]']['turns_per_sec']} |",
-                f"| {hi} | {ctl[f'mp[{hi}]']['sec']} | {ctl[f'mp[{hi}]']['turns_per_sec']} |",
-                "",
-                f"Control efficiency (hardware ceiling): {ctl['efficiency']} — "
-                f"**Spark efficiency normalized to hardware: "
-                f"{ex.get('normalized_efficiency', 'n/a')}**",
-            ]
+        sec_pair = ex.get("secondary")
+        if sec_pair and "error" not in sec_pair:
+            lines += _pair_lines(
+                sec_pair, "Secondary pair: local[2] vs local[8] (unthrottled region)"
+            )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def _pair_lines(ex: dict, title: str) -> list[str]:
+    lo, hi = ex["levels"]
+    lines = [
+        "",
+        f"### {title}",
+        "",
+        f"{ex['turns']:,} turns / {ex['convs']:,} conversations, identical "
+        "deterministic input at both levels:",
+        "",
+        "| config | wall sec (best) | turns/sec | all reps (sec) |",
+        "| --- | --- | --- | --- |",
+    ]
+    for k in (lo, hi):
+        e = ex[f"local[{k}]"]
+        lines.append(
+            f"| local[{k}] | {e['sec']} | {e['turns_per_sec']} | {e['all_runs_sec']} |"
+        )
+    ctl = ex.get("control")
+    if ctl:
+        for k in (lo, hi):
+            c = ctl[f"mp[{k}]"]
+            lines.append(
+                f"| mp-control[{k}] | {c['sec']} | {c['turns_per_sec']} | {c['all_runs_sec']} |"
+            )
+    lines += [
+        "",
+        f"**Raw scaling efficiency ({lo} -> {hi} cores): "
+        f"{ex['scaling_efficiency']}**",
+    ]
+    if ctl:
+        lines += [
+            f"Hardware-control efficiency (the box's own ceiling): "
+            f"{ctl['efficiency']} — **Spark efficiency normalized to hardware: "
+            f"{ex.get('normalized_efficiency', 'n/a')}**",
+        ]
+    return lines
 
 
 if __name__ == "__main__":

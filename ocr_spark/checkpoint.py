@@ -27,8 +27,14 @@ On a real deployment the same structure maps 1:1 onto Iceberg: the chunk
 commit becomes an Iceberg snapshot (atomic MERGE/overwrite of the bucket
 partitions), `_lineage` becomes a second Iceberg table appended in the
 same transaction-ish commit sequence, and resume reads the last snapshot.
-The sandbox has no Iceberg runtime jar, so the parquet emulation here
-keeps the exact commit/resume semantics with dynamic partition overwrite.
+``table_format="iceberg"`` activates that path (V2 writeTo API:
+``overwritePartitions()`` for data, ``append()`` for lineage) against a
+configured Iceberg catalog; it needs the iceberg-spark-runtime jar on the
+session's classpath.  This sandbox ships no Iceberg jar, so the default
+``table_format="parquet"`` emulation keeps the exact commit/resume
+semantics with dynamic partition overwrite, and the iceberg path fails
+fast with a clear error when the runtime is absent
+(tests/test_resume.py pins both the detection and the fallback).
 """
 
 from __future__ import annotations
@@ -55,10 +61,18 @@ class CheckpointedExtraction:
     ----------
     input_df : transcripts DataFrame (conv_id, turn_idx, role, text, tool, ts)
     output_dir : root directory; extracted rows under ``data/``
-        (partitioned by bucket), lineage rows under ``_lineage/``
+        (partitioned by bucket), lineage rows under ``_lineage/``.
+        With ``table_format="iceberg"`` this is instead an Iceberg table
+        identifier prefix (``catalog.db.name``): data lands in
+        ``<prefix>_data``, lineage in ``<prefix>_lineage``.
     buckets : stable hash buckets over conv_id (the resume granularity)
     chunk_buckets : buckets committed per chunk (the failure granularity)
     salt : skew salt forwarded to the extraction repartition
+    table_format : "parquet" (default; dynamic-partition-overwrite
+        emulation, works everywhere) or "iceberg" (real snapshot commits
+        via the V2 writeTo API; requires the iceberg-spark-runtime jar
+        and a configured catalog — raises RuntimeError with guidance when
+        the runtime is missing)
     """
 
     def __init__(
@@ -71,7 +85,10 @@ class CheckpointedExtraction:
         chunk_buckets: int = 8,
         salt: int = 8,
         run_id: str | None = None,
+        table_format: str = "parquet",
     ):
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown table_format {table_format!r}")
         self.spark = spark
         self.input_df = input_df
         self.output_dir = output_dir.rstrip("/")
@@ -79,14 +96,68 @@ class CheckpointedExtraction:
         self.chunk_buckets = chunk_buckets
         self.salt = salt
         self.run_id = run_id or f"run_{int(time.time() * 1000):x}"
-        self.data_dir = f"{self.output_dir}/{DATA_SUBDIR}"
-        self.lineage_dir = f"{self.output_dir}/{LINEAGE_SUBDIR}"
+        self.table_format = table_format
+        if table_format == "iceberg":
+            self._require_iceberg_runtime()
+            self.data_dir = f"{self.output_dir}_data"
+            self.lineage_dir = f"{self.output_dir}_lineage"
+        else:
+            self.data_dir = f"{self.output_dir}/{DATA_SUBDIR}"
+            self.lineage_dir = f"{self.output_dir}/{LINEAGE_SUBDIR}"
+
+    def _require_iceberg_runtime(self) -> None:
+        """Fail fast (at construction, not mid-job) when the Iceberg
+        runtime isn't on the classpath."""
+        try:
+            self.spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception as exc:
+            raise RuntimeError(
+                "table_format='iceberg' needs the iceberg-spark-runtime jar "
+                "on the Spark classpath and an Iceberg catalog configured "
+                "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog); "
+                "this environment has neither — use the default "
+                "table_format='parquet' emulation (identical commit/resume "
+                "semantics via dynamic partition overwrite)"
+            ) from exc
+
+    # -- storage backends ---------------------------------------------------
+
+    def _read(self, target: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return self.spark.read.table(target)
+        return self.spark.read.parquet(target)
+
+    def _commit_data(self, out: DataFrame) -> None:
+        """Idempotent per-bucket commit: only the bucket partitions present
+        in ``out`` are replaced (Iceberg: an overwrite-by-partition
+        snapshot; parquet: dynamic partition overwrite)."""
+        if self.table_format == "iceberg":
+            from pyspark.sql import functions as F  # noqa: F811
+
+            try:
+                out.writeTo(self.data_dir).overwritePartitions()
+            except Exception:
+                # first chunk: table doesn't exist yet
+                out.writeTo(self.data_dir).partitionedBy(F.col("bucket")).create()
+        else:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
+
+    def _commit_lineage(self, rows: DataFrame) -> None:
+        if self.table_format == "iceberg":
+            try:
+                rows.writeTo(self.lineage_dir).append()
+            except Exception:
+                rows.writeTo(self.lineage_dir).create()
+        else:
+            rows.write.mode("append").parquet(self.lineage_dir)
 
     # -- resume bookkeeping -------------------------------------------------
 
     def lineage(self) -> DataFrame | None:
         try:
-            return self.spark.read.parquet(self.lineage_dir)
+            return self._read(self.lineage_dir)
         except Exception:
             return None  # first run: no lineage yet
 
@@ -151,7 +222,7 @@ class CheckpointedExtraction:
                 # persisted so the data write and the lineage aggregation
                 # share ONE kernel pass (not two)
                 out = _bucketed(extracted, self.buckets).persist()
-                out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
+                self._commit_data(out)
                 # lineage left-joined with the chunk's bucket list so
                 # buckets with zero input rows still get a (zeroed) lineage
                 # row — without it they would never be marked complete and
@@ -177,8 +248,8 @@ class CheckpointedExtraction:
                 )
                 # lineage append AFTER data commit: a crash between the two
                 # leaves the bucket un-marked -> it is simply redone (and the
-                # dynamic overwrite makes the redo idempotent).
-                lineage_rows.write.mode("append").parquet(self.lineage_dir)
+                # per-bucket overwrite makes the redo idempotent).
+                self._commit_lineage(lineage_rows)
                 out.unpersist()
         finally:
             if prev_mode is None:
@@ -193,7 +264,7 @@ class CheckpointedExtraction:
         """Extracted rows with the stable-order reassembly window applied."""
         from pyspark.sql import Window
 
-        out = self.spark.read.parquet(self.data_dir)
+        out = self._read(self.data_dir)
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
         wc = Window.partitionBy("conv_id")
         return out.withColumn("turn_rank", F.row_number().over(w)).withColumn(

@@ -112,6 +112,30 @@ def test_bucket_scheme_mismatch_refused(spark, tmp_path):
     assert ok.validate(deep=True)["complete"]
 
 
+def test_iceberg_backend_detection(spark, tmp_path):
+    """table_format='iceberg' maps 1:1 onto the parquet emulation (V2
+    writeTo snapshot commits); in an environment without the
+    iceberg-spark-runtime jar it must fail fast at construction with
+    guidance, and bogus formats are rejected outright."""
+    import pytest
+
+    pdf = synth.generate_local(2, shuffled=False)
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="unknown table_format"):
+        CheckpointedExtraction(spark, sdf, str(tmp_path / "x"), table_format="delta")
+    has_iceberg = True
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        has_iceberg = False
+    if has_iceberg:
+        pytest.skip("iceberg runtime present; covered by the real-backend path")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        CheckpointedExtraction(
+            spark, sdf, "local.db.extract", table_format="iceberg"
+        )
+
+
 def test_overwrite_mode_restored(spark, tmp_path):
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     pdf = synth.generate_local(4, shuffled=False)
