@@ -135,11 +135,13 @@ _CONTROL_PDF = None  # loaded once in the parent; workers inherit via fork COW
 
 
 def _control_worker(args):
-    """Hardware control: raw kernel over a pandas chunk, no Spark."""
+    """Hardware control: raw kernel over a pandas chunk, no Spark.
+    Mirrors the benched pipeline's kernel config (with_spans=False, the
+    at-scale posture) so the normalization compares identical work."""
     from ocr_spark.kernel.extract import extract_batch
 
     lo, hi = args
-    extract_batch(_CONTROL_PDF.iloc[lo:hi])
+    extract_batch(_CONTROL_PDF.iloc[lo:hi], with_spans=False)
     return hi - lo
 
 

@@ -99,8 +99,8 @@ def _tool_output(raw: str) -> str | None:
 
 
 def _spans_and_counts(
-    extracted: pd.Series,
-) -> tuple[pd.Series, pd.Series, pd.Series, pd.Series]:
+    extracted: pd.Series, build: bool = True
+) -> tuple[pd.Series | None, pd.Series, pd.Series, pd.Series]:
     """Vectorized token-span assembly from extracted text.
 
     Span = (block_id, line_id, pos, token) over the canonical separators
@@ -138,6 +138,11 @@ def _spans_and_counts(
             blocks += 1
             for li, line in enumerate(block.split("\n")):
                 lines += 1
+                if not build:
+                    # count-only fast path: same split walk (so the counts
+                    # are definitionally identical), no escaping/assembly
+                    tokens += sum(1 for tok in line.split(" ") if tok)
+                    continue
                 toks: list[str] = []
                 for tok in line.split(" "):
                     if not tok:
@@ -159,7 +164,7 @@ def _spans_and_counts(
         nt.append(tokens)
     idx = extracted.index
     return (
-        pd.Series(spans, index=idx),
+        pd.Series(spans, index=idx) if build else None,
         pd.Series(nb, index=idx, dtype="int64"),
         pd.Series(nl, index=idx, dtype="int64"),
         pd.Series(nt, index=idx, dtype="int64"),
@@ -174,8 +179,17 @@ def extract_turn(text: str, tool: str = "", role: str = "user") -> dict:
     return extract_batch(pdf).iloc[0].to_dict()
 
 
-def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Extract a batch of turns.  Pure function of (text, tool, role)."""
+def extract_batch(pdf: pd.DataFrame, with_spans: bool = True) -> pd.DataFrame:
+    """Extract a batch of turns.  Pure function of (text, tool, role).
+
+    ``with_spans=False`` (the at-scale pipeline posture) skips assembling
+    the ``spans_json`` column — the span relation is a pure function of
+    ``extracted_text`` (canonical separators), so downstream consumers
+    derive it losslessly JVM-side
+    (``ocr_spark.operators.transcripts.derive_spans``) instead of paying
+    its bytes through every Arrow hop and shuffle; the count columns
+    (n_blocks/n_lines/n_tokens) are identical in both modes (pinned by
+    tests/test_parity.py::test_derived_spans_match_kernel)."""
     pdf = pdf.reset_index(drop=True)
     n = len(pdf)
     text = pdf["text"].fillna("").astype(str)
@@ -228,19 +242,22 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     fields_json, n_fields = extract_fields_series(cleaned)
 
     # 7. spans + counters
-    spans_json, n_blocks, n_lines, n_tokens = _spans_and_counts(cleaned)
-
-    return pd.DataFrame(
-        {
-            "conv_id": pdf["conv_id"].astype(str),
-            "turn_idx": pdf["turn_idx"].astype("int32"),
-            "extracted_text": cleaned,
-            "spans_json": spans_json,
-            "fields_json": fields_json,
-            "n_blocks": n_blocks,
-            "n_lines": n_lines,
-            "n_tokens": n_tokens,
-            "n_fields": n_fields,
-            "status": status,
-        }
+    spans_json, n_blocks, n_lines, n_tokens = _spans_and_counts(
+        cleaned, build=with_spans
     )
+
+    cols = {
+        "conv_id": pdf["conv_id"].astype(str),
+        "turn_idx": pdf["turn_idx"].astype("int32"),
+        "extracted_text": cleaned,
+        "spans_json": spans_json,
+        "fields_json": fields_json,
+        "n_blocks": n_blocks,
+        "n_lines": n_lines,
+        "n_tokens": n_tokens,
+        "n_fields": n_fields,
+        "status": status,
+    }
+    if not with_spans:
+        del cols["spans_json"]
+    return pd.DataFrame(cols)

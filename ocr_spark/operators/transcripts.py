@@ -93,24 +93,49 @@ def extract_fields_long(spark, sf_dir):
     )
 
 
-def extract_spans_typed(spark, sf_dir):
-    """Typed span rows: spans_json -> array<struct> -> posexplode, giving
-    the (doc, block, line, pos, token) relation every downstream layout
-    operator consumes."""
-    df = generate_spark(spark, N_CONVS, partitions=8)
-    out = extract_transcripts(df, salt=8, reassemble=False)
-    lines = out.select(
+def derive_spans(extracted):
+    """The (conv, turn, block, line, pos, token) span relation, derived
+    JVM-side from ``extracted_text`` alone — fully inside whole-stage
+    codegen (split/posexplode/filter), no Python, no JSON.
+
+    This is the at-scale counterpart of the kernel's inline ``spans_json``
+    (``kernel/extract.py _spans_and_counts``): extracted text has
+    canonical separators (blocks: blank line, lines: newline, tokens:
+    single space), so splitting here reproduces the kernel's span relation
+    exactly — pinned by tests/test_parity.py::test_derived_spans_match_kernel.
+    Empty tokens are filtered BEFORE posexplode so ``pos`` stays dense,
+    matching the kernel's numbering."""
+    blocks = extracted.select(
         "conv_id",
         "turn_idx",
-        F.explode(F.from_json(F.col("spans_json"), SPAN_SCHEMA)).alias("s"),
+        F.posexplode(F.split(F.col("extracted_text"), "\n\n", -1)).alias(
+            "block_id", "block"
+        ),
+    )
+    lines = blocks.select(
+        "conv_id",
+        "turn_idx",
+        "block_id",
+        F.posexplode(F.split(F.col("block"), "\n", -1)).alias("line_id", "line"),
     )
     return lines.select(
         "conv_id",
         "turn_idx",
-        F.col("s.b").alias("block_id"),
-        F.col("s.l").alias("line_id"),
-        F.posexplode(F.col("s.t")).alias("pos", "token"),
+        "block_id",
+        "line_id",
+        F.posexplode(
+            F.filter(F.split(F.col("line"), " ", -1), lambda t: t != "")
+        ).alias("pos", "token"),
     ).select("conv_id", "turn_idx", "block_id", "line_id", "pos", "token")
+
+
+def extract_spans_typed(spark, sf_dir):
+    """Typed span rows: the (doc, block, line, pos, token) relation every
+    downstream layout operator consumes, derived JVM-side from
+    extracted_text (see derive_spans)."""
+    df = generate_spark(spark, N_CONVS, partitions=8)
+    out = extract_transcripts(df, salt=8, reassemble=False)
+    return derive_spans(out)
 
 
 def extract_lineage(spark, sf_dir):

@@ -48,6 +48,15 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# at-scale output: spans_json omitted — the span relation is a pure
+# function of extracted_text (canonical separators) and is derived
+# losslessly JVM-side by ocr_spark.operators.transcripts.derive_spans,
+# instead of paying ~45% of the output bytes through the Arrow hop and
+# the reassembly shuffle (measured; see SCALE.md §7)
+OUTPUT_SCHEMA_NO_SPANS = StructType(
+    [f for f in OUTPUT_SCHEMA.fields if f.name != "spans_json"]
+)
+
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool"]
 
 
@@ -56,12 +65,18 @@ def _extract_map(batches):
         yield extract_batch(pdf)
 
 
+def _extract_map_no_spans(batches):
+    for pdf in batches:
+        yield extract_batch(pdf, with_spans=False)
+
+
 def extract_transcripts(
     df: DataFrame,
     *,
     salt: int = 8,
     partitions: int | None = None,
     reassemble: bool = True,
+    spans: bool = False,
 ) -> DataFrame:
     """Run the extraction kernel over a transcripts DataFrame.
 
@@ -69,6 +84,12 @@ def extract_transcripts(
     (north-rule skew defense: ``repartition(hash(conv_id), pmod(hash(turn_idx),
     salt))``).  ``reassemble`` adds the stable-order window columns
     (turn_rank, conv_turns) over (conv_id, turn_idx).
+
+    ``spans=False`` (default, the at-scale posture) omits the inline
+    ``spans_json`` column; derive the identical span relation from
+    ``extracted_text`` with ``transcripts.derive_spans`` when needed.
+    ``spans=True`` keeps the inline JSON for full-fidelity artifacts
+    (the byte-parity suite, scripts/run_extract.py e2e output).
     """
     spark = df.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -79,7 +100,10 @@ def extract_transcripts(
         F.hash(F.col("conv_id")),
         F.pmod(F.hash(F.col("turn_idx")), F.lit(salt)),
     )
-    extracted = salted.mapInPandas(_extract_map, OUTPUT_SCHEMA)
+    if spans:
+        extracted = salted.mapInPandas(_extract_map, OUTPUT_SCHEMA)
+    else:
+        extracted = salted.mapInPandas(_extract_map_no_spans, OUTPUT_SCHEMA_NO_SPANS)
 
     if not reassemble:
         return extracted

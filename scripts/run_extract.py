@@ -30,7 +30,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("WARN")
     df = spark.read.parquet(inp)
-    extracted = extract_transcripts(df, salt=salt)
+    # spans=True: this job writes the full-fidelity artifact (inline
+    # spans_json) that the byte-parity verify flow compares; production
+    # 10^12-turn runs use the default spans=False + derive_spans instead
+    extracted = extract_transcripts(df, salt=salt, spans=True)
     extracted.write.mode("overwrite").parquet(f"{out}/extracted")
     done = spark.read.parquet(f"{out}/extracted")
     partition_metrics(done).write.mode("overwrite").parquet(f"{out}/metrics")

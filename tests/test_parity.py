@@ -22,7 +22,7 @@ N_CONVS = 60  # ~10^3 turns with the Zipf tail
 
 def _spark_result(spark, pdf):
     sdf = spark.createDataFrame(pdf)
-    out = extract_transcripts(sdf, salt=4, partitions=8)
+    out = extract_transcripts(sdf, salt=4, partitions=8, spans=True)
     res = out.orderBy("conv_id", "turn_idx").toPandas()
     return res
 
@@ -47,6 +47,42 @@ def test_spark_matches_oracle_byte_for_byte(spark):
 
     for col in ("n_blocks", "n_lines", "n_tokens", "n_fields"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_derived_spans_match_kernel(spark):
+    """The JVM-side span derivation (split/posexplode over extracted_text,
+    the at-scale spans path) reproduces the Python kernel's span relation
+    exactly, and the spans=False pipeline's count columns equal the
+    spans=True kernel's."""
+    import json
+
+    from ocr_spark.operators.transcripts import derive_spans
+
+    pdf = synth.generate_local(25, shuffled=True)
+    want = oracle_extract(pdf)  # kernel with inline spans
+
+    out = extract_transcripts(
+        spark.createDataFrame(pdf), salt=4, partitions=8, spans=False
+    )
+    assert "spans_json" not in out.columns
+    got_counts = out.orderBy("conv_id", "turn_idx").toPandas()
+    for col in ("n_blocks", "n_lines", "n_tokens"):
+        assert (got_counts[col].to_numpy() == want[col].to_numpy()).all(), col
+
+    derived = {
+        (r.conv_id, r.turn_idx, r.block_id, r.line_id, r.pos, r.token)
+        for r in derive_spans(out).collect()
+    }
+    kernel_rel = set()
+    for _, row in want.iterrows():
+        for rec in json.loads(row["spans_json"]):
+            for p, tok in enumerate(rec["t"]):
+                # JSON-escaped token back to raw for comparison
+                raw = json.loads(f'"{tok}"')
+                kernel_rel.add(
+                    (row["conv_id"], row["turn_idx"], rec["b"], rec["l"], p, raw)
+                )
+    assert derived == kernel_rel
 
 
 def test_window_reassembly_columns(spark):
