@@ -53,11 +53,21 @@ _ANY_VIT_RE = re.compile("|".join(re.escape(t) for t in _VIT_TERMS))
 _REJECT_MIN_COUNT = 3
 
 
+_EMPTY_SET: frozenset = frozenset()
+
+
 def _is_american(text: str) -> bool:
     lines = [ln for block in text.split("\n\n") for ln in block.split("\n")]
     first_line: dict[str, int] = {}
-    line_terms: list[set[str]] = []
+    line_terms: list = []
     for idx, line in enumerate(lines):
+        # cheap superset prefilter: the unanchored alternation can only
+        # over-match vs the \b-bounded per-term scans, so a miss here
+        # proves no term is present — skips the 14 per-term searches on
+        # the (vast majority of) term-free lines.  Same `present` sets.
+        if _ANY_VIT_RE.search(line) is None:
+            line_terms.append(_EMPTY_SET)
+            continue
         present = {t for t, rx in zip(_VIT_TERMS, _VIT_RES) if rx.search(line)}
         line_terms.append(present)
         for t in present:

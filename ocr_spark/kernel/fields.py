@@ -78,6 +78,13 @@ _P2 = re.compile(
 )
 _ABSENT = re.compile(r"not a significant source of (?P<list>[a-z ,]+)")
 
+# cheap vectorized prefilters (STRING patterns — kept in the RE2∩re subset
+# so Arrow-backed Series stay on the RE2 fast path, see cleanup.py):
+# extractall is the kernel's hottest call, and most rows can be excluded
+# before it runs without changing a single match.
+_ANY_TERM_PAT = "|".join(re.escape(t) for t, _ in VOCAB)
+_ABSENT_PAT = "not a significant source of "
+
 CONFLICT = "conflict"
 ABSENT = "absent"
 MISSING = ""
@@ -131,11 +138,28 @@ def extract_fields_series(cleaned: pd.Series) -> tuple[pd.Series, pd.Series]:
     "ok|conflict|missing|absent"}} with field keys sorted — deterministic
     bytes for the parity gate.
     """
-    p1 = _resolve(_match_frame(cleaned, _P1))
+    # prefilter: a row with no vocabulary term cannot produce a P1/P2
+    # match (both patterns require \b<term>\b, and the unanchored literal
+    # alternation is a superset of the bounded one), so extractall —
+    # per-match Python row assembly, the hottest kernel call — runs only
+    # on term-bearing rows.  Identical matches by construction.
+    has_term = (
+        cleaned.str.contains(_ANY_TERM_PAT, regex=True).fillna(False).astype(bool)
+    )
+    termed = cleaned[has_term]
+    p1 = _resolve(_match_frame(termed, _P1))
 
     # pass 2 only fills fields that pass 1 left MISSING (fill-missing merge,
-    # merge_results NFT_OCR.py:1415-1441 with test_conflicts=False)
-    p2 = _resolve(_match_frame(cleaned, _P2))
+    # merge_results NFT_OCR.py:1415-1441 with test_conflicts=False).  Any
+    # (row, field) P2 can touch also appears in P1 — P2's term match is the
+    # same \b-bounded alternation, and a bare term always P1-matches (with
+    # qty left missing) — so P2 only needs the rows where P1 left a missing
+    # qty, plus the (theoretical) term-bearing rows P1 produced nothing for.
+    p1_missing = p1["qty"].isna() | (p1["qty"] == MISSING)
+    p2_rows = set(p1.loc[p1_missing, "row"]) | (
+        set(termed.index) - set(p1["row"])
+    )
+    p2 = _resolve(_match_frame(termed.loc[sorted(p2_rows)], _P2))
     if not p2.empty:
         merged = p1.merge(p2, on=["row", "field"], how="outer", suffixes=("", "_2"))
         for col in ("qty", "unit", "dv"):
@@ -148,7 +172,10 @@ def extract_fields_series(cleaned: pd.Series) -> tuple[pd.Series, pd.Series]:
         res = p1
 
     # absence inference: listed fields with no extracted quantity -> "absent"
-    ab = cleaned.str.extractall(_ABSENT)
+    has_absent = (
+        cleaned.str.contains(_ABSENT_PAT, regex=False).fillna(False).astype(bool)
+    )
+    ab = cleaned[has_absent].str.extractall(_ABSENT)
     if not ab.empty:
         ab = ab.reset_index(level=-1, drop=True)["list"]
         ab = ab.str.split(",").explode().str.strip()
