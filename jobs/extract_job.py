@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", help="parquet dir or iceberg table of transcripts")
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--output", required=True, help="output root (data/ + _lineage/)")
+    p.add_argument("--table-format", default="parquet", choices=["parquet", "iceberg"],
+                   help="OUTPUT backend: parquet emulation (default) or real "
+                        "Iceberg snapshot commits (needs the runtime jar + a "
+                        "catalog; --output is then a table-identifier prefix)")
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--chunk-buckets", type=int, default=8)
     p.add_argument("--salt", type=int, default=8)
@@ -96,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         buckets=args.buckets,
         chunk_buckets=args.chunk_buckets,
         salt=args.salt,
+        table_format=args.table_format,
     )
     pending_before = len(job.pending_buckets())
     n = job.run(max_chunks=args.max_chunks)
