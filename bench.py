@@ -456,7 +456,11 @@ def main() -> None:
         t0 = time.time()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 2)
-    recall = ann_recall(spark, sf_dir)
+    try:
+        recall = ann_recall(spark, sf_dir)
+    except Exception as exc:  # bench must ALWAYS print its one JSON line
+        sys.stderr.write(f"ann_recall failed: {exc}\n")
+        recall = {"error": str(exc)[:200]}
     spark.stop()
 
     result = {
@@ -487,7 +491,9 @@ def _write_bench_md(result: dict) -> None:
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
     rc = result.get("ann_recall")
-    if rc:
+    if rc and "error" not in rc:
+        from ocr_spark.operators.similarity import _probe_masks
+
         lines += [
             "",
             f"## ANN recall@{rc['k']} vs brute-force ground truth "
@@ -499,7 +505,7 @@ def _write_bench_md(result: dict) -> None:
         for radius in (0, 1, 2):
             key = f"lsh_radius{radius}"
             if key in rc:
-                n_buckets = 1 + (8 * radius if radius else 0) + (28 if radius >= 2 else 0)
+                n_buckets = len(_probe_masks(radius))
                 lines.append(
                     f"| sign-LSH (8-bit, 256 buckets) | multi-probe radius {radius} "
                     f"({n_buckets} buckets/query) | {rc[key]} |"
@@ -552,7 +558,10 @@ def _write_bench_md(result: dict) -> None:
             "every executor owns its cores and memory bus, so all levels look "
             "like the flat region (SCALE.md §7).",
         ]
-        lines += _pair_lines(ex, "Primary pair: local[8] vs local[32] (mandated levels)")
+        lo, hi = ex["levels"]
+        lines += _pair_lines(
+            ex, f"Primary pair: local[{lo}] vs local[{hi}] (mandated levels)"
+        )
         pk = ex.get("peak")
         if pk:
             lines += [
@@ -566,8 +575,10 @@ def _write_bench_md(result: dict) -> None:
             ]
         sec_pair = ex.get("secondary")
         if sec_pair and "error" not in sec_pair:
+            lo2, hi2 = sec_pair["levels"]
             lines += _pair_lines(
-                sec_pair, "Secondary pair: local[2] vs local[8] (unthrottled region)"
+                sec_pair,
+                f"Secondary pair: local[{lo2}] vs local[{hi2}] (unthrottled region)",
             )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

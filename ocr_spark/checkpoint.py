@@ -86,6 +86,7 @@ class CheckpointedExtraction:
         salt: int = 8,
         run_id: str | None = None,
         table_format: str = "parquet",
+        spans: bool = False,
     ):
         if table_format not in ("parquet", "iceberg"):
             raise ValueError(f"unknown table_format {table_format!r}")
@@ -95,6 +96,7 @@ class CheckpointedExtraction:
         self.buckets = buckets
         self.chunk_buckets = chunk_buckets
         self.salt = salt
+        self.spans = spans
         self.run_id = run_id or f"run_{int(time.time() * 1000):x}"
         self.table_format = table_format
         if table_format == "iceberg":
@@ -134,21 +136,23 @@ class CheckpointedExtraction:
         in ``out`` are replaced (Iceberg: an overwrite-by-partition
         snapshot; parquet: dynamic partition overwrite)."""
         if self.table_format == "iceberg":
-            from pyspark.sql import functions as F  # noqa: F811
-
-            try:
+            # existence is checked explicitly, NOT via try/except around the
+            # write: a real overwritePartitions failure (schema mismatch,
+            # catalog auth, executor loss) must surface as-is so the resume
+            # machinery redoes the bucket — retrying it as create() would
+            # bury the root cause under TableAlreadyExists.
+            if self.spark.catalog.tableExists(self.data_dir):
                 out.writeTo(self.data_dir).overwritePartitions()
-            except Exception:
-                # first chunk: table doesn't exist yet
+            else:
                 out.writeTo(self.data_dir).partitionedBy(F.col("bucket")).create()
         else:
             out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
 
     def _commit_lineage(self, rows: DataFrame) -> None:
         if self.table_format == "iceberg":
-            try:
+            if self.spark.catalog.tableExists(self.lineage_dir):
                 rows.writeTo(self.lineage_dir).append()
-            except Exception:
+            else:
                 rows.writeTo(self.lineage_dir).create()
         else:
             rows.write.mode("append").parquet(self.lineage_dir)
@@ -179,6 +183,18 @@ class CheckpointedExtraction:
                     f"was written with buckets={sorted(schemes)} but this run uses "
                     f"buckets={self.buckets}; rerun with the original setting or "
                     "use a fresh output_dir"
+                )
+        # same guard for the output schema: resuming a spans=True output
+        # with spans=False (or vice versa) would mix data files with and
+        # without the spans_json column under one data table
+        if "spans" in lin.columns:
+            modes = {bool(r.spans) for r in lin.select("spans").distinct().collect()}
+            if modes - {self.spans}:
+                raise ValueError(
+                    f"resume span-mode mismatch: lineage at {self.lineage_dir} was "
+                    f"written with spans={sorted(modes)} but this run uses "
+                    f"spans={self.spans}; rerun with the original setting or use a "
+                    "fresh output_dir"
                 )
         return {r.bucket for r in lin.select("bucket").distinct().collect()}
 
@@ -217,7 +233,10 @@ class CheckpointedExtraction:
             for chunk_id, chunk in enumerate(chunks):
                 subset = src.filter(F.col("bucket").isin(chunk))
                 extracted = extract_transcripts(
-                    subset.drop("bucket"), salt=self.salt, reassemble=False
+                    subset.drop("bucket"),
+                    salt=self.salt,
+                    reassemble=False,
+                    spans=self.spans,
                 )
                 # persisted so the data write and the lineage aggregation
                 # share ONE kernel pass (not two)
@@ -242,6 +261,7 @@ class CheckpointedExtraction:
                         ],
                     )
                     .withColumn("buckets", F.lit(self.buckets))
+                    .withColumn("spans", F.lit(self.spans))
                     .withColumn("run_id", F.lit(self.run_id))
                     .withColumn("chunk_id", F.lit(chunk_id))
                     .withColumn("committed_at", F.current_timestamp())

@@ -149,13 +149,22 @@ def extract_fields_series(cleaned: pd.Series) -> tuple[pd.Series, pd.Series]:
     termed = cleaned[has_term]
     p1 = _resolve(_match_frame(termed, _P1))
 
-    # pass 2 only fills fields that pass 1 left MISSING (fill-missing merge,
-    # merge_results NFT_OCR.py:1415-1441 with test_conflicts=False).  Any
-    # (row, field) P2 can touch also appears in P1 — P2's term match is the
-    # same \b-bounded alternation, and a bare term always P1-matches (with
-    # qty left missing) — so P2 only needs the rows where P1 left a missing
-    # qty, plus the (theoretical) term-bearing rows P1 produced nothing for.
-    p1_missing = p1["qty"].isna() | (p1["qty"] == MISSING)
+    # pass 2 only fills cells that pass 1 left missing (fill-missing merge,
+    # merge_results NFT_OCR.py:1415-1441 with test_conflicts=False) — and
+    # the fill is PER COLUMN: a field with qty present can still backfill
+    # its unit or dv from P2.  Any (row, field) P2 can touch also appears
+    # in P1 (P2's term match is the same \b-bounded alternation, and a
+    # bare term always P1-matches), so P2 only needs the rows where P1
+    # left ANY of qty/unit/dv missing, plus the (theoretical) term-bearing
+    # rows P1 produced nothing for.
+    p1_missing = (
+        p1["qty"].isna()
+        | (p1["qty"] == MISSING)
+        | p1["unit"].isna()
+        | (p1["unit"] == MISSING)
+        | p1["dv"].isna()
+        | (p1["dv"] == MISSING)
+    )
     p2_rows = set(p1.loc[p1_missing, "row"]) | (
         set(termed.index) - set(p1["row"])
     )

@@ -46,12 +46,19 @@ LINE_GAP = 4  # max |y_i - y_j| for two line records to merge into one line
 
 
 def _order_blocks(blocks: list[dict]) -> list[dict]:
-    """Band/column reading order (module docstring).  Malformed bboxes
-    (non-list, <4 elements) raise to the caller's failure handler, like
-    the previous direct indexing did."""
+    """Band/column reading order (module docstring).
+
+    bbox compatibility matches the pre-band code exactly, which only read
+    bbox[0]/bbox[1]: 2- and 3-element bboxes stay valid (the missing
+    x1/y1 default to x0/y0 — zero extent, so such blocks never y-overlap
+    and keep the old (y0, x0) order), while <2 elements raises to the
+    caller's failure handler as before."""
     def bbox(b):
         bb = b.get("bbox", [0, 0, 0, 0])
-        return bb[0], bb[1], bb[2], bb[3]
+        x0, y0 = bb[0], bb[1]
+        x1 = bb[2] if len(bb) > 2 else x0
+        y1 = bb[3] if len(bb) > 3 else y0
+        return x0, y0, x1, y1
 
     by_y = sorted(blocks, key=lambda b: (bbox(b)[1], bbox(b)[0]))
     bands: list[list] = []  # [band_max_y1, [blocks...]]

@@ -247,7 +247,11 @@ def dedup_simhash(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("contrib").cast("bigint").alias("simhash"))
     )
-    sim = sim.cache()
+    # sim feeds both the segment explode and the verify join; deliberately
+    # NOT cached — a .cache() here pins all signatures in executor memory
+    # for the rest of the session (at 10^9 docs, a real cost), while
+    # recomputing the signature agg is one cheap extra stage.  Callers
+    # that reuse the result repeatedly can persist/unpersist it themselves.
     segs = sim.select(
         "doc_id",
         "simhash",

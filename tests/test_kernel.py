@@ -109,6 +109,43 @@ def test_layout_malformed_is_failure_not_crash():
     assert layout_extract('{"pages": "nope"}') == []
 
 
+def test_layout_short_bbox_still_extracts():
+    """Regression (round-2 review): the band-order code must accept 2- and
+    3-element bboxes like the pre-band code did (it only read x0/y0) —
+    zero-extent defaults keep them in plain (y0, x0) order."""
+    payload = json.dumps(
+        {
+            "pages": [
+                {
+                    "page": 1,
+                    "blocks": [
+                        {"bbox": [10, 10], "lines": [{"y": 10, "spans": [{"x": 0, "text": "calories 100"}]}]},
+                        {"bbox": [10, 50, 200], "lines": [{"y": 50, "spans": [{"x": 0, "text": "protein 5 g"}]}]},
+                    ],
+                }
+            ]
+        }
+    )
+    assert layout_extract(payload) == ["calories 100", "protein 5 g"]
+    # <2 elements still degrades to [] (failure span), as before
+    assert layout_extract('{"pages":[{"blocks":[{"bbox":[5],"lines":[{"y":1,"spans":[{"x":0,"text":"a"}]}]}]}]}') == []
+
+
+def test_fields_pass2_backfills_unit_when_qty_present():
+    """Regression (round-2 review): the fill-missing merge is per COLUMN —
+    a field whose qty came from pass 1 can still backfill unit/dv from
+    pass 2, so the P2 prefilter must not skip rows where only unit/dv are
+    missing."""
+    import pandas as pd
+
+    from ocr_spark.kernel.fields import extract_fields_series
+
+    fields_json, n = extract_fields_series(pd.Series(["protein: 10\n5 g of protein"]))
+    doc = json.loads(fields_json.iloc[0])
+    assert doc["protein"]["qty"] == "10"  # pass 1 wins on qty
+    assert doc["protein"]["unit"] == "g"  # pass 2 backfills the unit
+
+
 def test_layout_two_column_reading_order():
     """Band/column order: full-width title first, then the left column
     top-to-bottom, then the right column — NOT global y-order (which would
