@@ -76,13 +76,55 @@ def test_derived_spans_match_kernel(spark):
     kernel_rel = set()
     for _, row in want.iterrows():
         for rec in json.loads(row["spans_json"]):
+            # json.loads already decoded the kernel's escaping: rec["t"]
+            # items are the raw tokens
             for p, tok in enumerate(rec["t"]):
-                # JSON-escaped token back to raw for comparison
-                raw = json.loads(f'"{tok}"')
                 kernel_rel.add(
-                    (row["conv_id"], row["turn_idx"], rec["b"], rec["l"], p, raw)
+                    (row["conv_id"], row["turn_idx"], rec["b"], rec["l"], p, tok)
                 )
     assert derived == kernel_rel
+
+
+def test_derived_spans_adversarial_tokens(spark):
+    """Tokens containing JSON-special characters (quote, backslash,
+    unicode) — the kernel escapes them inside spans_json while
+    derive_spans splits raw text; both must yield the same raw tokens."""
+    import json
+
+    import pandas as pd
+
+    from ocr_spark.operators.transcripts import derive_spans
+
+    texts = [
+        'he said "hi there" back',
+        "wind\\up path\\\\double über naïve",
+        'mix "q\\w" end',
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": pd.array([0] * len(texts), dtype="int32"),
+            "role": ["user"] * len(texts),
+            "text": texts,
+            "tool": [""] * len(texts),
+        }
+    )
+    out = extract_transcripts(
+        spark.createDataFrame(pdf), salt=2, partitions=2, spans=False
+    )
+    derived = {
+        (r.conv_id, r.block_id, r.line_id, r.pos, r.token)
+        for r in derive_spans(out).collect()
+    }
+    kernel_rel = set()
+    for _, row in oracle_extract(pdf).iterrows():
+        for rec in json.loads(row["spans_json"]):
+            # json.loads already decoded the kernel's escaping: rec["t"]
+            # items are the raw tokens
+            for p, tok in enumerate(rec["t"]):
+                kernel_rel.add((row["conv_id"], rec["b"], rec["l"], p, tok))
+    assert derived == kernel_rel
+    assert derived  # non-degenerate: the adversarial tokens survived cleanup
 
 
 def test_window_reassembly_columns(spark):
