@@ -112,6 +112,31 @@ def test_bucket_scheme_mismatch_refused(spark, tmp_path):
     assert ok.validate(deep=True)["complete"]
 
 
+def test_span_mode_mismatch_refused(spark, tmp_path):
+    """Resuming a spans=False output with spans=True (or vice versa) would
+    mix data files with and without the spans_json column under one data
+    dir; the lineage records the mode and a mismatched resume must refuse."""
+    import pytest
+
+    pdf = synth.generate_local(6, shuffled=True)
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path / "ckpt_spans")
+    CheckpointedExtraction(
+        spark, sdf, out, buckets=8, chunk_buckets=4, salt=2, spans=False
+    ).run(max_chunks=1)
+    bad = CheckpointedExtraction(
+        spark, sdf, out, buckets=8, chunk_buckets=4, salt=2, spans=True
+    )
+    with pytest.raises(ValueError, match="span-mode mismatch"):
+        bad.run()
+    ok = CheckpointedExtraction(
+        spark, sdf, out, buckets=8, chunk_buckets=4, salt=2, spans=False
+    )
+    ok.run()
+    assert ok.validate(deep=True)["complete"]
+    assert "spans_json" not in ok.result().columns
+
+
 def test_iceberg_backend_detection(spark, tmp_path):
     """table_format='iceberg' maps 1:1 onto the parquet emulation (V2
     writeTo snapshot commits); in an environment without the
