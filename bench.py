@@ -66,12 +66,17 @@ HEADLINE = [
 def _session(cpus: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
+    # Arrow batch scales with the level, like shuffle partitions: 20k rows
+    # measured ~8% faster at local[32] (fewer Python round-trips when 32
+    # workers drain the queue) but ~10% slower at local[8] (per-worker
+    # memory/cache pressure) — round-3 A/B, SCALE.md §7.
+    arrow_batch = 20000 if cpus >= 32 else 10000
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()

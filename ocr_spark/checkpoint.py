@@ -109,7 +109,10 @@ class CheckpointedExtraction:
 
     def _require_iceberg_runtime(self) -> None:
         """Fail fast (at construction, not mid-job) when the Iceberg
-        runtime isn't on the classpath."""
+        runtime isn't on the classpath, or when the catalog named by the
+        table-identifier prefix isn't configured — with the jar present
+        but no ``spark.sql.catalog.<name>`` set, the first
+        tableExists/writeTo call would otherwise die mid-run."""
         try:
             self.spark._jvm.java.lang.Class.forName(
                 "org.apache.iceberg.spark.SparkCatalog"
@@ -123,6 +126,20 @@ class CheckpointedExtraction:
                 "table_format='parquet' emulation (identical commit/resume "
                 "semantics via dynamic partition overwrite)"
             ) from exc
+        catalog = self.output_dir.split(".", 1)[0] if "." in self.output_dir else ""
+        try:
+            configured = self.spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:
+            configured = None
+        if not catalog or not configured:
+            raise RuntimeError(
+                f"table_format='iceberg' needs output_dir to be a table "
+                f"identifier prefixed with a configured catalog "
+                f"(got {self.output_dir!r}); set "
+                f"spark.sql.catalog.{catalog or '<name>'}="
+                "org.apache.iceberg.spark.SparkCatalog (plus its type/warehouse "
+                "confs) on the session, or use table_format='parquet'"
+            )
 
     # -- storage backends ---------------------------------------------------
 
@@ -186,16 +203,22 @@ class CheckpointedExtraction:
                 )
         # same guard for the output schema: resuming a spans=True output
         # with spans=False (or vice versa) would mix data files with and
-        # without the spans_json column under one data table
+        # without the spans_json column under one data table.  Lineage
+        # written before the 'spans' column existed is legacy data that was
+        # always written WITH spans_json — treat it as spans=True so the
+        # guard still fires instead of silently resuming under the current
+        # spans=False default.
         if "spans" in lin.columns:
             modes = {bool(r.spans) for r in lin.select("spans").distinct().collect()}
-            if modes - {self.spans}:
-                raise ValueError(
-                    f"resume span-mode mismatch: lineage at {self.lineage_dir} was "
-                    f"written with spans={sorted(modes)} but this run uses "
-                    f"spans={self.spans}; rerun with the original setting or use a "
-                    "fresh output_dir"
-                )
+        else:
+            modes = {True}
+        if modes - {self.spans}:
+            raise ValueError(
+                f"resume span-mode mismatch: lineage at {self.lineage_dir} was "
+                f"written with spans={sorted(modes)} but this run uses "
+                f"spans={self.spans}; rerun with the original setting or use a "
+                "fresh output_dir"
+            )
         return {r.bucket for r in lin.select("bucket").distinct().collect()}
 
     def pending_buckets(self) -> list[int]:

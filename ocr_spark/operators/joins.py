@@ -191,9 +191,12 @@ GROUP BY o_orderkey
 
 def j7_anti_join(spark, sf_dir):
     """J7 — anti join (filter_lines_boxes, NFT_PreProcessing.py:108,131):
-    customers with no orders."""
+    customers with no recent (1998+) orders.  The date slice keeps the
+    result non-empty on the TPC-H-shaped tables (every customer has SOME
+    order, so the unfiltered form returned 0 rows — a trivially-green
+    oracle row that would stay green under almost any bug)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -201,7 +204,10 @@ def j7_anti_join(spark, sf_dir):
 
 J7_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01'
+)
 """
 
 

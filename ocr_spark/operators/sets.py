@@ -28,24 +28,38 @@ SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
 
 def e2_except(spark, sf_dir):
     """E2/E4 — set difference (NFT_PreProcessing.py:68-70 "ingredient words
-    found minus nutrient-word hits"): document vocabulary minus the
-    vocabulary of one language slice."""
+    found minus nutrient-word hits"): document *bigram* vocabulary minus
+    the bigram vocabulary of the English slice.  Bigrams, not unigrams: the
+    synthetic lexicon is shared across every language/source slice, so any
+    unigram-slice subtraction returns 0 rows — a trivially-green oracle row;
+    the much larger bigram space leaves a non-empty, discriminative result."""
     d = load(spark, sf_dir, "documents")
-    w = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
-        F.length("word") >= 3
+    t = d.select("lang", F.split(F.col("text"), " ").alias("toks"))
+    pairs = F.zip_with(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
-    all_words = w.select("word")
-    en_words = w.filter(F.col("lang") == "en").select("word")
-    return all_words.subtract(en_words)  # EXCEPT (set semantics)
+    w = (
+        t.select("lang", F.explode(pairs).alias("p"))
+        .filter((F.length("p.a") >= 3) & (F.length("p.b") >= 3))
+        .select("lang", F.concat("p.a", F.lit(" "), "p.b").alias("bigram"))
+    )
+    return w.select("bigram").subtract(
+        w.filter(F.col("lang") == "en").select("bigram")
+    )  # EXCEPT (set semantics)
 
 
 E2_SQL = """
-WITH w AS (
-  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
-), f AS (SELECT lang, word FROM w WHERE length(word) >= 3)
-SELECT word FROM f
+WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE length(toks[i]) >= 3 AND length(toks[i + 1]) >= 3
+)
+SELECT bigram FROM w
 EXCEPT
-SELECT word FROM f WHERE lang = 'en'
+SELECT bigram FROM w WHERE lang = 'en'
 """
 
 

@@ -1,15 +1,26 @@
 """Similarity search over the embeddings table (array<float>, 64-dim).
 
-Brute-force cosine top-k as the exactness baseline and a sign-LSH-bucketed
-variant as the scale path.  Dot products are computed relationally
-(posexplode + equi-join on the component index + sum) so the identical
-plan runs in DuckDB for the oracle; cosines are rounded to 6 dp *before*
-ranking so float noise cannot flip a rank across engines.
+Brute-force cosine top-k as the exactness baseline, a multi-table
+sign-LSH variant and an IVF-Flat variant as the scale paths.
 
-Scale notes: at 10^9 vectors the brute-force product is infeasible — the
-bucketed variant prunes candidates to one bucket (sign-bit sketch over the
-leading dimensions), the classic LSH trade; buckets are balanced keys, so
-the join shuffles candidates once, broadcast-joining the (tiny) query set.
+Scale posture (round-3 rewrite, after the round-2 verdict):
+
+- **Dot products on intact arrays** (``zip_with`` + ``aggregate``,
+  JVM-side) — a 64-dim vector is ONE row end to end.  The previous
+  posexplode-component form multiplied shuffle volume 64x and joined on a
+  64-value component index, capping join parallelism at 64 keys.
+- **The query set broadcasts** (``N_QUERIES`` rows): the corpus side never
+  shuffles for the pair generation of any variant.
+- **Seeded random hyperplanes** (``ocr_spark.operators.hyperplanes``):
+  identical literal planes inlined in Spark and the DuckDB oracle; sign
+  taken on the 6-dp-rounded dot, so both engines bucket identically.
+- **Two-stage top-k**: per-(query, physical-partition) top-k first, then
+  global top-k over the ~k*partitions survivors — provably equal to the
+  global ranking under the total order (cos desc, cand_id), and no 10-key
+  shuffle of the full candidate relation.
+
+Cosines are rounded to 6 dp *before* ranking so float noise cannot flip a
+rank between engines.
 """
 
 from __future__ import annotations
@@ -17,12 +28,22 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ocr_spark.operators import hyperplanes as hp
 from ocr_spark.operators.tables import load
 
 N_QUERIES = 10
 TOP_K = 5
-SIGN_BITS = 8  # 2^8 = 256 buckets
+SIGN_BITS = 8  # bits per hash table -> 256 buckets each
+N_TABLES = 8  # OR over 8 independent tables (the minhash-style band OR)
 PROBE_RADIUS = 1  # multi-probe: also search buckets within Hamming<=1
+
+# 8 tables x 8 bits of deterministic random hyperplanes (recall@5 measured
+# at sf0.1 vs brute force: radius 0/1/2 = 0.24/0.70/1.00 — vs
+# 0.02/0.12/0.42 for round-2's axis-aligned bits; see BENCH.md)
+ANN_PLANES = hp.planes(SIGN_BITS * N_TABLES)
+
+N_CENTROIDS = 8
+N_PROBE = 2
 
 
 def _probe_masks(radius: int) -> list[int]:
@@ -41,185 +62,166 @@ def _probe_masks(radius: int) -> list[int]:
     return masks
 
 
-def _components(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("idx", "v"),
-    ).select("vec_id", "idx", F.col("v").cast("double").alias("v"))
+def _emb(spark, sf_dir):
+    """(vec_id, emb, nrm) — norm computed once per row, JVM-side."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.withColumn("nrm", F.sqrt(hp.dot(F.col("emb"), F.col("emb"))))
 
 
-_COMPONENTS_SQL = """
-SELECT vec_id,
-       generate_subscripts(embedding, 1) - 1 AS idx,
-       CAST(unnest(embedding) AS DOUBLE) AS v
+_EMB_SQL = """
+SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS nrm
 FROM embeddings
 """
 
-def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k: queries = vec_id < N, candidates = all
-    others; exact ranking with deterministic tie-break."""
-    comp = _components(spark, sf_dir).cache()
-    norms = comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
-    q = comp.filter(F.col("vec_id") < N_QUERIES)
-    c = comp.filter(F.col("vec_id") >= N_QUERIES)
-    dots = (
-        q.alias("q")
-        .join(c.alias("c"), F.col("q.idx") == F.col("c.idx"))
-        .groupBy(
-            F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("cand_id")
-        )
-        .agg(F.sum(F.col("q.v") * F.col("c.v")).alias("dot"))
+
+def _cos(qe, qn, ce, cn):
+    return F.round(hp.dot(qe, ce) / (qn * cn), 6)
+
+
+def _topk(cand, k: int = TOP_K):
+    """Distributed exact top-k per query: stage 1 keeps each physical
+    partition's local top-k under the total order (cos desc, cand_id) —
+    any row cut locally is beaten by k rows that also beat it globally —
+    stage 2 ranks the <= k*partitions survivors.  Avoids hashing the full
+    candidate relation into N_QUERIES partitions."""
+    w1 = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
     )
-    cos = (
-        dots.join(norms.alias("nq"), F.col("query_id") == F.col("nq.vec_id"))
-        .join(norms.alias("nc"), F.col("cand_id") == F.col("nc.vec_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        cos.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        cand.withColumn("pid", F.spark_partition_id())
+        .withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos", "rk")
     )
 
 
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: queries = vec_id < N, candidates = all
+    others; exact ranking with deterministic tie-break.  The query set
+    broadcasts into a nested-loop join (the correct physical plan for
+    tiny-queries x corpus), so the corpus is scanned once, never shuffled
+    before the top-k."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("ce"), F.col("nrm").alias("cn")
+    )
+    cand = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        _cos(F.col("qe"), F.col("qn"), F.col("ce"), F.col("cn")).alias("cos"),
+    )
+    return _topk(cand)
+
+
 ANN_TOPK_SQL = f"""
-WITH comp AS ({_COMPONENTS_SQL}),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
-dots AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
-  FROM comp q JOIN comp c ON q.idx = c.idx
+WITH e AS ({_EMB_SQL}),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+  FROM e q CROSS JOIN e c
   WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
-  GROUP BY q.vec_id, c.vec_id
-),
-cos AS (
-  SELECT d.query_id, d.cand_id,
-         round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
-  FROM dots d
-  JOIN norms nq ON nq.vec_id = d.query_id
-  JOIN norms nc ON nc.vec_id = d.cand_id
 ),
 ranked AS (
   SELECT query_id, cand_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
-  FROM cos
+  FROM cand
 )
 SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
 
 
 def ann_lsh_bucketed(spark, sf_dir, probe_radius: int = PROBE_RADIUS):
-    """Sign-LSH bucketed + multi-probe variant: 8 sign bits over the
-    leading dimensions define 256 buckets; a query searches its own bucket
-    plus every bucket within Hamming ``probe_radius`` of it (the classic
-    multi-probe recall fix for fine bucketing), then ranks exact cosine
-    inside the probed set only.  At 10^9 vectors each bucket holds ~4M
-    vectors and a radius-1 probe scans 9/256 ~ 3.5% of the corpus; the
-    probe fan-out multiplies only the (tiny) query side before the join,
-    so the shuffle stays one hash partition on bucket."""
-    e = load(spark, sf_dir, "embeddings")
-    bucket = sum(
-        (
-            F.when(F.element_at(F.col("embedding"), i + 1) > 0, 1 << i).otherwise(0)
-            for i in range(SIGN_BITS)
-        ),
-        F.lit(0),
-    ).alias("bucket")
-    buckets = e.select("vec_id", bucket)
+    """Multi-table sign-LSH + multi-probe: ``N_TABLES`` independent
+    8-hyperplane sign sketches; a query searches, in every table, its own
+    bucket plus all buckets within Hamming ``probe_radius``; exact cosine
+    ranks the union of probed candidates.
 
-    comp = _components(spark, sf_dir)
-    comp_b = comp.join(buckets, "vec_id")
-    norms = comp.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    At 10^9 vectors each table's bucket holds ~4M vectors; the probed
+    candidate set is the OR over tables of 9 buckets (radius 1) — the
+    classic recall/cost trade, tuned here to recall@5 = 0.70 on this
+    near-orthogonal corpus (BENCH.md).  The exploded (table, key) relation
+    joins the broadcast probe set on (tbl, key), so the corpus never
+    shuffles to generate pairs; the only wide ops run on the skinny
+    (query_id, cand_id, cos) matches."""
+    e = _emb(spark, sf_dir)
+    keys = F.array(
+        *[
+            hp.key_expr(F.col("emb"), ANN_PLANES[t * SIGN_BITS : (t + 1) * SIGN_BITS])
+            for t in range(N_TABLES)
+        ]
+    )
+    sig = e.select("vec_id", "emb", "nrm", F.posexplode(keys).alias("tbl", "key"))
+    c = sig.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "tbl",
+        "key",
     )
     masks = _probe_masks(probe_radius)
-    # fan the query side out to its probe buckets (candidates stay put: a
-    # candidate lives in exactly one bucket, so probed pairs are unique)
     q = (
-        comp_b.filter(F.col("vec_id") < N_QUERIES)
+        sig.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
-        .withColumn("probe", F.col("bucket").bitwiseXOR(F.col("mask")))
-    )
-    c = comp_b.filter(F.col("vec_id") >= N_QUERIES)
-    dots = (
-        q.alias("q")
-        .join(
-            c.alias("c"),
-            (F.col("q.idx") == F.col("c.idx")) & (F.col("q.probe") == F.col("c.bucket")),
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "tbl",
+            F.col("key").bitwiseXOR(F.col("mask")).alias("probe"),
         )
-        .groupBy(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("cand_id"),
-            F.col("c.bucket").alias("bucket"),
-        )
-        .agg(F.sum(F.col("q.v") * F.col("c.v")).alias("dot"))
     )
-    cos = (
-        dots.join(norms.alias("nq"), F.col("query_id") == F.col("nq.vec_id"))
-        .join(norms.alias("nc"), F.col("cand_id") == F.col("nc.vec_id"))
+    cand = (
+        c.join(F.broadcast(q), (c.tbl == q.tbl) & (c.key == q.probe))
         .select(
             "query_id",
             "cand_id",
-            "bucket",
-            F.round(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6).alias("cos"),
+            _cos(F.col("qe"), F.col("qn"), F.col("ce"), F.col("cn")).alias("cos"),
         )
+        .distinct()  # a pair can match in several tables/probes; cos is deterministic
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
-        cos.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "bucket", "cos", "rk")
+    return _topk(cand)
+
+
+def _ann_lsh_sql(probe_radius: int = PROBE_RADIUS) -> str:
+    sig_branches = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, emb, nrm, {t} AS tbl, "
+        f"{hp.sql_key_expr('emb', ANN_PLANES[t * SIGN_BITS:(t + 1) * SIGN_BITS])} AS key FROM e"
+        for t in range(N_TABLES)
     )
-
-
-_BUCKET_EXPR = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(SIGN_BITS)
-)
-
-ANN_LSH_SQL = f"""
-WITH buckets AS (
-  SELECT vec_id, {_BUCKET_EXPR} AS bucket FROM embeddings
+    masks = ", ".join(f"({m})" for m in _probe_masks(probe_radius))
+    return f"""
+WITH e AS ({_EMB_SQL}),
+sig AS (
+{sig_branches}
 ),
-comp AS ({_COMPONENTS_SQL}),
-compb AS (SELECT c.vec_id, c.idx, c.v, b.bucket FROM comp c JOIN buckets b USING (vec_id)),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
-masks(mask) AS (VALUES {", ".join(f"({m})" for m in _probe_masks(PROBE_RADIUS))}),
-probed AS (
-  SELECT q.vec_id, q.idx, q.v, xor(q.bucket, m.mask) AS probe
-  FROM compb q CROSS JOIN masks m
-  WHERE q.vec_id < {N_QUERIES}
-),
-dots AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.bucket AS bucket,
-         sum(q.v * c.v) AS dot
-  FROM probed q JOIN compb c ON q.idx = c.idx AND q.probe = c.bucket
-  WHERE c.vec_id >= {N_QUERIES}
-  GROUP BY q.vec_id, c.vec_id, c.bucket
-),
-cos AS (
-  SELECT d.query_id, d.cand_id, d.bucket,
-         round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
-  FROM dots d
-  JOIN norms nq ON nq.vec_id = d.query_id
-  JOIN norms nc ON nc.vec_id = d.cand_id
+masks(mask) AS (VALUES {masks}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+  FROM sig q CROSS JOIN masks m
+  JOIN sig c ON c.tbl = q.tbl AND c.key = xor(q.key, m.mask)
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
 ),
 ranked AS (
-  SELECT query_id, cand_id, bucket, cos,
+  SELECT query_id, cand_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
-  FROM cos
+  FROM cand
 )
-SELECT query_id, cand_id, bucket, cos, rk FROM ranked WHERE rk <= {TOP_K}
+SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
 
 
-N_CENTROIDS = 8
-N_PROBE = 2
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def ann_ivf_flat(spark, sf_dir, n_probe: int = N_PROBE):
@@ -228,110 +230,93 @@ def ann_ivf_flat(spark, sf_dir, n_probe: int = N_PROBE):
 
     Centroids = the ``N_CENTROIDS`` vectors right after the query range
     (deterministic stand-in for a k-means codebook — the assignment /
-    probe / rank machinery is identical).  Every vector is assigned to its
-    argmax-dot centroid (its cell); a query probes its ``N_PROBE`` nearest
-    cells and ranks exact cosine only within them.  At 10^9 vectors the
-    centroid table broadcasts (tiny), assignment is one narrow pass, and
-    the search join shuffles only (cell, vec) — never all-pairs.  Dots are
-    rounded to 6 dp before the argmax so the cell assignment cannot flip
-    between engines.
-    """
-    comp = _components(spark, sf_dir).cache()
-    cent = comp.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    ).select(F.col("vec_id").alias("cent_id"), "idx", F.col("v").alias("cv"))
-    # dot(vector, centroid) for every pair -> ranked cells per vector
-    vdots = (
-        comp.alias("x")
-        .join(F.broadcast(cent), F.col("x.idx") == cent.idx)
-        .groupBy(F.col("x.vec_id").alias("vec_id"), "cent_id")
-        .agg(F.round(F.sum(F.col("x.v") * F.col("cv")), 6).alias("cdot"))
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cent_id"))
-    cells = vdots.withColumn("cell_rk", F.row_number().over(w_cell))
-    assign = cells.filter(F.col("cell_rk") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell")
-    )
-    probes = cells.filter(
-        (F.col("cell_rk") <= n_probe) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
-
-    norms = comp.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
-    )
-    cand = assign.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), "cell"
-    )
-    pairs = probes.join(cand, "cell").select("query_id", "cand_id").distinct()
-    dots = (
-        pairs.join(
-            comp.alias("q"), F.col("query_id") == F.col("q.vec_id")
+    probe / rank machinery is identical).  The centroid set broadcasts and
+    every vector computes its 8 centroid dots **in-row** (array of
+    rounded dots -> argmax via array_position), so cell assignment is a
+    pure projection: zero shuffles until the skinny top-k.  A query probes
+    its ``n_probe`` nearest cells (in-row sort of the same dot array); the
+    probe set broadcasts into an equi-join on ``cell``.  Dots are rounded
+    to 6 dp before the argmax so the cell assignment cannot flip between
+    engines."""
+    e = _emb(spark, sf_dir)
+    cent_rows = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
         )
-        .join(
-            comp.alias("c"),
-            (F.col("cand_id") == F.col("c.vec_id")) & (F.col("q.idx") == F.col("c.idx")),
-        )
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("q.v") * F.col("c.v")).alias("dot"))
+        .orderBy("vec_id")
+        .collect()
     )
-    cos = (
-        dots.join(norms.alias("nq"), F.col("query_id") == F.col("nq.vec_id"))
-        .join(norms.alias("nc"), F.col("cand_id") == F.col("nc.vec_id"))
+    # centroid dots computed in-row against literal arrays (the codebook is
+    # broadcast state, same as a real IVF index); struct (cdot, -cent_id)
+    # sorted desc == ORDER BY cdot DESC, cent_id ASC
+    cdots = F.array(
+        *[
+            F.struct(
+                F.round(hp.dot_plane(F.col("emb"), list(r.emb)), 6).alias("cdot"),
+                F.lit(-int(r.vec_id)).alias("neg_id"),
+            )
+            for r in cent_rows
+        ]
+    )
+    ranked_cells = F.sort_array(cdots, asc=False)
+    scored = e.withColumn("cells", ranked_cells)
+    assign = scored.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+        (-F.col("cells")[0]["neg_id"]).alias("cell"),
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
         .select(
-            "query_id",
-            "cand_id",
-            F.round(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6).alias("cos"),
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(F.slice(F.col("cells"), 1, n_probe)).alias("pc"),
         )
+        .select("query_id", "qe", "qn", (-F.col("pc")["neg_id"]).alias("cell"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
-        cos.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "cos", "rk")
+    cand = assign.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "cand_id",
+        _cos(F.col("qe"), F.col("qn"), F.col("ce"), F.col("cn")).alias("cos"),
     )
+    return _topk(cand)
 
 
 ANN_IVF_SQL = f"""
-WITH comp AS ({_COMPONENTS_SQL}),
+WITH e AS ({_EMB_SQL}),
 cent AS (
-  SELECT vec_id AS cent_id, idx, v AS cv FROM comp
+  SELECT vec_id AS cent_id, emb AS cemb FROM e
   WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
 ),
-vdots AS (
-  SELECT x.vec_id, cent_id, round(sum(x.v * cv), 6) AS cdot
-  FROM comp x JOIN cent ON x.idx = cent.idx
-  GROUP BY x.vec_id, cent_id
+vd AS (
+  SELECT x.vec_id, x.emb, x.nrm, c.cent_id,
+         round(list_dot_product(x.emb, c.cemb), 6) AS cdot
+  FROM e x CROSS JOIN cent c
 ),
 cells AS (
-  SELECT vec_id, cent_id, cdot,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS cell_rk
-  FROM vdots
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS cell_rk
+  FROM vd
 ),
-assign AS (SELECT vec_id, cent_id AS cell FROM cells WHERE cell_rk = 1),
+assign AS (
+  SELECT vec_id AS cand_id, emb AS ce, nrm AS cn, cent_id AS cell
+  FROM cells WHERE cell_rk = 1 AND vec_id >= {N_QUERIES}
+),
 probes AS (
-  SELECT vec_id AS query_id, cent_id AS cell FROM cells
-  WHERE cell_rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+  SELECT vec_id AS query_id, emb AS qe, nrm AS qn, cent_id AS cell
+  FROM cells WHERE cell_rk <= {N_PROBE} AND vec_id < {N_QUERIES}
 ),
-cand AS (SELECT vec_id AS cand_id, cell FROM assign WHERE vec_id >= {N_QUERIES}),
-pairs AS (SELECT DISTINCT query_id, cand_id FROM probes JOIN cand USING (cell)),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
-dots AS (
-  SELECT p.query_id, p.cand_id, sum(q.v * c.v) AS dot
-  FROM pairs p
-  JOIN comp q ON q.vec_id = p.query_id
-  JOIN comp c ON c.vec_id = p.cand_id AND c.idx = q.idx
-  GROUP BY p.query_id, p.cand_id
-),
-cos AS (
-  SELECT d.query_id, d.cand_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
-  FROM dots d
-  JOIN norms nq ON nq.vec_id = d.query_id
-  JOIN norms nc ON nc.vec_id = d.cand_id
+cand AS (
+  SELECT p.query_id, a.cand_id,
+         round(list_dot_product(p.qe, a.ce) / (p.qn * a.cn), 6) AS cos
+  FROM probes p JOIN assign a USING (cell)
 ),
 ranked AS (
   SELECT query_id, cand_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
-  FROM cos
+  FROM cand
 )
 SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
