@@ -31,12 +31,21 @@ import re
 
 import pandas as pd
 
+from ocr_spark.kernel import bilingual
 from ocr_spark.kernel.cleanup import cleanup_series
 from ocr_spark.kernel.fields import extract_fields_series
 from ocr_spark.kernel.html import html_extract, looks_like_html
 from ocr_spark.kernel.layout import layout_extract, looks_like_layout
 
 _PARA_SPLIT_RE = re.compile(r"\n\s*\n")
+
+# expiry-date patterns, mirrored from ``extract_expiry``
+# (Ingredients_OCR.py:295-305): "2024 JAN 05" / "2024:JAN:05" first, then
+# the "JAN 05 2024" order as fallback.  Run on the RAW text (pre-cleanup,
+# like the reference, which scans the raw OCR string) — the cleanup chain
+# lowercases, which would kill the [A-Z] month token.
+_EXPIRY_RE1 = r"(20[0-9]{2}[ :/]?[A-Z]{2,3}[ :/]?[0-9]{2})"
+_EXPIRY_RE2 = r"([A-Z]{2,3}[ :/][0-9]{2}[ :/]20[0-9]{2})"
 
 # Faithful port of the reject-gate vocabulary and counting rule of
 # ``is_american_nft`` (NFT_OCR.py:959-978): for each vocabulary term, look
@@ -231,7 +240,34 @@ def extract_batch(pdf: pd.DataFrame, with_spans: bool = True) -> pd.DataFrame:
         plain = payload[plain_mask].str.split(_PARA_SPLIT_RE)
         blocks.loc[plain_mask] = plain.map(lambda xs: [x for x in xs if x.strip()])
 
-    raw = blocks.str.join("\n\n").fillna("")
+    # 3b. bilingual duplicate split (split_ingrdients,
+    # Ingredients_OCR.py:14-25): a block carrying the content twice — EN
+    # then FR, each opened by a fuzzy "Ingredients" header — is cut at the
+    # second header into two blocks, BEFORE cleanup lowercases the marker.
+    # Vectorized prefilter: two fuzzy occurrences always retain >= 2
+    # literal marker 3-grams (see kernel/bilingual.py), so the per-row
+    # token scan runs only on candidate rows.
+    joined_pre = blocks.str.join("\n\n").fillna("")
+    bi_cand = (
+        joined_pre.astype("string[pyarrow]")
+        .str.count(bilingual.PREFILTER_PAT)
+        .fillna(0)
+        .astype(int)
+        >= 2
+    )
+    if bi_cand.any():
+        blocks = blocks.copy()
+        blocks.loc[bi_cand] = blocks[bi_cand].map(bilingual.split_blocks)
+        raw = blocks.str.join("\n\n").fillna("")
+    else:
+        raw = joined_pre
+
+    # 3c. expiry dates from the RAW text (extract_expiry,
+    # Ingredients_OCR.py:295-305): pattern 1, else pattern 2, else none
+    expiry = raw.str.extract(_EXPIRY_RE1, expand=False)
+    need2 = expiry.isna()
+    if need2.any():
+        expiry.loc[need2] = raw[need2].str.extract(_EXPIRY_RE2, expand=False)
 
     # 4. ordered cleanup chain (vectorized)
     cleaned = cleanup_series(raw)
@@ -248,8 +284,10 @@ def extract_batch(pdf: pd.DataFrame, with_spans: bool = True) -> pd.DataFrame:
     cleaned = cleaned.where(~reject_mask, "")
     status.loc[(cleaned == "") & (status == STATUS_OK)] = STATUS_EMPTY
 
-    # 6. fields
-    fields_json, n_fields = extract_fields_series(cleaned)
+    # 6. fields (expiry blanked on rejected/empty rows: a gated-out turn
+    # carries no fields at all, dates included)
+    expiry = expiry.where(cleaned != "", None)
+    fields_json, n_fields = extract_fields_series(cleaned, expiry=expiry)
 
     # 7. spans + counters
     spans_json, n_blocks, n_lines, n_tokens = _spans_and_counts(

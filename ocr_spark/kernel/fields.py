@@ -131,12 +131,18 @@ def _resolve(frame: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def extract_fields_series(cleaned: pd.Series) -> tuple[pd.Series, pd.Series]:
+def extract_fields_series(
+    cleaned: pd.Series, expiry: pd.Series | None = None
+) -> tuple[pd.Series, pd.Series]:
     """Series of cleaned text -> (fields_json Series, n_fields Series).
 
     JSON shape: {"field": {"qty": "15", "unit": "g", "dv": "20", "status":
     "ok|conflict|missing|absent"}} with field keys sorted — deterministic
     bytes for the parity gate.
+
+    ``expiry`` (optional, aligned to ``cleaned``): pre-extracted expiry
+    date strings (``extract_expiry``, Ingredients_OCR.py:295-305); non-null
+    entries become an ``expiry`` field with the date as qty, status ok.
     """
     # prefilter: a row with no vocabulary term cannot produce a P1/P2
     # match (both patterns require \b<term>\b, and the unanchored literal
@@ -199,6 +205,26 @@ def extract_fields_series(cleaned: pd.Series) -> tuple[pd.Series, pd.Series]:
             res = res.assign(absent=False)
     else:
         res = res.assign(absent=False)
+
+    # expiry dates (pre-extracted from raw text) join the field table as a
+    # first-class "expiry" field — the reference's extract_expiry result
+    # lands in the same per-document record (Ingredients_OCR.py:295-305)
+    if expiry is not None:
+        exp = expiry.dropna()
+        if not exp.empty:
+            exp_frame = pd.DataFrame(
+                {
+                    "row": exp.index,
+                    "field": "expiry",
+                    "qty": exp.astype(str).values,
+                    "unit": None,
+                    "dv": None,
+                    "absent": False,
+                }
+            )
+            res = pd.concat(
+                [res if not res.empty else None, exp_frame], ignore_index=True
+            )
 
     if res.empty:
         empty = pd.Series("{}", index=cleaned.index)

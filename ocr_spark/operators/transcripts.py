@@ -161,10 +161,46 @@ def extract_enriched(spark, sf_dir):
     )
 
 
+def extract_bilingual(spark, sf_dir):
+    """Per-block language relation over the extraction output — the
+    downstream consumer of the kernel's bilingual duplicate split
+    (split_ingrdients, Ingredients_OCR.py:14-25 + the language vote of
+    :197-214): a bilingual_duplicate turn arrives as TWO blocks, and this
+    query tags each block's language JVM-side (marker-token vote, the same
+    lists as ocr_spark.enrich), yielding one (turn, block, language, text)
+    row per language part.  Rows-only check; split semantics pinned by
+    tests/test_kernel.py, language vote by tests/test_enrich.py."""
+    from ocr_spark.enrich import EN_MARKERS, FR_MARKERS
+
+    df = generate_spark(spark, 60, partitions=8)
+    out = extract_transcripts(df, salt=4, reassemble=False)
+    blocks = out.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split(F.col("extracted_text"), "\n\n", -1)).alias(
+            "block_id", "block_text"
+        ),
+    ).filter(F.col("block_text") != "")
+    toks = F.split(F.col("block_text"), " ")
+    fr_hits = F.size(F.filter(toks, lambda t: t.isin(*FR_MARKERS)))
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
+    return blocks.select(
+        "conv_id",
+        "turn_idx",
+        "block_id",
+        F.when(fr_hits > en_hits, "fr")
+        .when(en_hits > fr_hits, "en")
+        .otherwise("und")
+        .alias("language"),
+        "block_text",
+    )
+
+
 QUERIES = {
     "extract_pipeline": (extract_pipeline, None),
     "extract_fields_long": (extract_fields_long, None),
     "extract_spans_typed": (extract_spans_typed, None),
     "extract_lineage": (extract_lineage, None),
     "extract_enriched": (extract_enriched, None),
+    "extract_bilingual": (extract_bilingual, None),
 }

@@ -35,6 +35,7 @@ CLASSES = (
     "pdf_layoutish",
     "pdf_two_column",
     "bilingual_slash",
+    "bilingual_duplicate",
     "glued_tokens",
     "ocr_confusions",
     "ambiguous_terms",
@@ -191,6 +192,17 @@ def _p_bilingual_slash(h):
     )
 
 
+def _p_bilingual_duplicate(h):
+    """EN/FR doubled content, each part opened by a (fuzzily spelled)
+    Ingredients header — the split_ingrdients class
+    (Ingredients_OCR.py:14-25).  The second header carries 1-2 edits
+    (accent, OCR confusion) so only the fuzzy matcher finds it."""
+    second = _pick(("Ingrédients:", "Ingrediants:", "lngredients:"), _h(h, "hdr"))
+    en = f"Ingredients: sugar milk wheat flour and {_words(h, 2)}"
+    fr = f"{second} sucre lait farine de ble avec {_pick(('sel', 'avoine', 'orge'), _h(h, 'fr'))}"
+    return f"{en} {fr}"
+
+
 def _p_glued_tokens(h):
     return (
         f"serving details\n\ncarbohydrate {_qty(h)}.0g per portion\n"
@@ -280,6 +292,7 @@ _BUILDERS = {
     "pdf_layoutish": _p_pdf_layoutish,
     "pdf_two_column": _p_pdf_two_column,
     "bilingual_slash": _p_bilingual_slash,
+    "bilingual_duplicate": _p_bilingual_duplicate,
     "glued_tokens": _p_glued_tokens,
     "ocr_confusions": _p_ocr_confusions,
     "ambiguous_terms": _p_ambiguous_terms,

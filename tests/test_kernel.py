@@ -329,3 +329,46 @@ def test_tool_non_dict_payloads_canonical_json():
     assert '"top level content words here"' in r["extracted_text"] or "top level" in r["extracted_text"]
     rn = extract_turn("", tool="null", role="tool")
     assert rn["extracted_text"] == "null"  # canonical JSON, not Python repr "None"
+
+
+def test_bilingual_duplicate_split():  # split_ingrdients port (C13 kernel-side)
+    """Ingredients_OCR.py:14-25: exactly two fuzzy 'Ingredients' headers
+    with the first within the first 5 chars -> split at the second into
+    per-language blocks; any other configuration leaves the block whole."""
+    from ocr_spark.kernel.bilingual import split_block
+
+    en, fr = split_block("Ingredients: sugar milk Ingrédients: sucre lait")
+    assert en == "Ingredients: sugar milk"
+    assert fr == "Ingrédients: sucre lait"
+    # first occurrence too deep (reference: index > 5 -> None)
+    assert split_block("prefix words Ingredients: x Ingrédients: y") is None
+    # not exactly two occurrences
+    assert split_block("Ingredients: only once") is None
+    assert split_block("Ingredients: a Ingrediants: b lngredients: c") is None
+
+    r = extract_turn(
+        "Ingredients: sugar milk wheat and protein\n"
+        "Ingrédients: sucre lait farine avec sel"
+    )
+    assert r["n_blocks"] == 2
+    blocks = r["extracted_text"].split("\n\n")
+    assert "sugar milk" in blocks[0] and "sucre lait" in blocks[1]
+
+
+def test_expiry_field():  # extract_expiry port (Ingredients_OCR.py:295-305)
+    r = extract_turn("best before 2024 JAN 05\nprotein 5 g")
+    assert '"expiry":{"qty":"2024 JAN 05","unit":"","dv":"","status":"ok"}' in r["fields_json"]
+    assert r["n_fields"] == 2
+    # second pattern order, and the separator variants
+    assert '"qty":"MAR 03 2025"' in extract_turn("use by MAR 03 2025")["fields_json"]
+    assert '"qty":"2024:FEB:28"' in extract_turn("exp 2024:FEB:28")["fields_json"]
+    # pattern 1 wins when both are present (reference tries it first)
+    both = extract_turn("a 2024 JAN 05 b MAR 03 2025")
+    assert '"qty":"2024 JAN 05"' in both["fields_json"]
+    # no date -> no field; rejected rows carry no expiry either
+    assert "expiry" not in extract_turn("no dates here")["fields_json"]
+    rej = extract_turn(
+        "nutrition facts 2024 JAN 05\n"
+        "vitamin a 1 % vitamin c 2 % vitamin d 3 %"
+    )
+    assert rej["status"] == "rejected" and rej["fields_json"] == "{}"
