@@ -497,7 +497,7 @@ def _write_bench_md(result: dict) -> None:
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
     rc = result.get("ann_recall")
     if rc and "error" not in rc:
-        from ocr_spark.operators.similarity import _probe_masks
+        from ocr_spark.operators.similarity import N_TABLES, SIGN_BITS, _probe_masks
 
         lines += [
             "",
@@ -510,9 +510,10 @@ def _write_bench_md(result: dict) -> None:
         for radius in (0, 1, 2):
             key = f"lsh_radius{radius}"
             if key in rc:
-                n_buckets = len(_probe_masks(radius))
+                n_buckets = len(_probe_masks(radius)) * N_TABLES
                 lines.append(
-                    f"| sign-LSH (8-bit, 256 buckets) | multi-probe radius {radius} "
+                    f"| sign-LSH ({N_TABLES} tables x {SIGN_BITS} seeded random "
+                    f"hyperplanes) | multi-probe radius {radius} "
                     f"({n_buckets} buckets/query) | {rc[key]} |"
                 )
         for np_ in (1, 2, 4):
@@ -520,15 +521,20 @@ def _write_bench_md(result: dict) -> None:
             if key in rc:
                 lines.append(f"| IVF-Flat (8 cells) | nprobe {np_} | {rc[key]} |")
         if "dedup_emb_pair_recall" in rc:
+            from ocr_spark.operators.dedup import EMB_LSH_BANDS, EMB_LSH_BITS
+
             lines += [
                 "",
-                f"Embedding-dedup pair recall (sf0.01): LSH-bucketed pair generation "
-                f"recovers **{rc['dedup_emb_pair_recall']}** of the "
+                f"Embedding-dedup pair recall (sf0.01): banded sign-LSH pair "
+                f"generation ({EMB_LSH_BANDS} bands x {EMB_LSH_BITS} seeded random "
+                f"hyperplanes, OR over bands) recovers "
+                f"**{rc['dedup_emb_pair_recall']}** of the "
                 f"{rc['dedup_emb_pairs_exact']} exact all-pairs matches at cos >= 0.4.  "
-                "(Near-dup thresholds in production are ~0.95 where sign agreement is "
-                "near-certain; at the synthetic corpus' 0.4 threshold bucketing is "
-                "intentionally lossy — the all-pairs baseline stays available for "
-                "recall audits at small sf.)",
+                "(The checked 0.4 threshold is the adversarial regime for sign-LSH "
+                "— theta ~66 deg, ~0.63 agreement per bit; at production near-dup "
+                "thresholds ~0.95 a single band almost always fires while buckets "
+                "prune hard.  The all-pairs baseline stays available for recall "
+                "audits at small sf.)",
             ]
         if "dedup_minhash_pair_recall" in rc:
             lines += [

@@ -52,3 +52,30 @@ def test_no_reassembly_means_single_shuffle(spark, tmp_path):
     out = extract_transcripts(spark.read.parquet(path), salt=4, partitions=8, reassemble=False)
     _, executed = _plan(out)
     assert executed.count("Exchange") == 1  # only the salt repartition
+
+
+def test_ann_plans_are_array_form(spark):
+    """Round-3 scale guards for similarity.py: dot products run on intact
+    arrays — the plan must NOT contain a posexplode of embedding
+    components or any join keyed on a component index (the round-2 shape
+    that capped join parallelism at 64 idx keys).  The brute-force
+    baseline broadcasts the tiny query set into a nested-loop join; the
+    LSH and IVF variants broadcast the probe set into hash joins."""
+    from ocr_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivf_flat,
+        ann_lsh_bucketed,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for fn in (ann_cosine_topk, ann_lsh_bucketed, ann_ivf_flat):
+        optimized, executed = _plan(fn(spark, sf_dir))
+        assert "idx" not in optimized, f"{fn.__name__}: component-index join is back"
+        assert "BroadcastExchange" in executed, f"{fn.__name__}: query side not broadcast"
+    # brute force specifically: broadcast NLJ (cross of corpus x 10 queries)
+    _, exe_bf = _plan(ann_cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in exe_bf
+    # LSH specifically: the candidate join is a broadcast HASH join on
+    # (tbl, key) — not nested-loop, not a shuffle of the corpus
+    _, exe_lsh = _plan(ann_lsh_bucketed(spark, sf_dir))
+    assert "BroadcastHashJoin" in exe_lsh
