@@ -568,6 +568,15 @@ def _write_bench_md(result: dict) -> None:
             "scaling when the box permits scaling at all.  On a real cluster "
             "every executor owns its cores and memory bus, so all levels look "
             "like the flat region (SCALE.md §7).",
+            "",
+            "Round-3 config sweep (SCALE.md §7 'oversubscription hypothesis"
+            "... refuted'): halving the runnable threads at local[32] "
+            "(spark.task.cpus=2, or 16 slots in a 32-core budget) is 5-12% "
+            "SLOWER than the 64-runnable status quo, so the 32-core throttle "
+            "is a busy-core-count hardware property, not scheduler pressure; "
+            "an event-log stage breakdown attributes Spark's residual "
+            "overhead at 32 cores (~2.2 s) to the two shuffle stages + wave "
+            "imbalance, with task-time matching the bare-kernel mp control.",
         ]
         lo, hi = ex["levels"]
         lines += _pair_lines(

@@ -68,35 +68,25 @@ def _lev_le(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
-_GRAM_RE = re.compile(PREFILTER_PAT)
+# candidate tokens only: whitespace-bounded runs of marker-compatible
+# length — the C regex engine does the token walk, Python sees only the
+# few plausible tokens per row
+_CAND_TOKEN_RE = re.compile(rf"(?<!\S)\S{{{_MIN_LEN},{_MAX_LEN}}}(?!\S)")
+# exact-case marker 3-grams: <=2 edits leave >=1 of these intact (see
+# PREFILTER_PAT), so a token with none of them can never fuzzy-match —
+# a 9-substring C-level prescreen before the Levenshtein DP
+_MARKER_GRAMS = tuple(MARKER[i : i + 3] for i in range(len(MARKER) - 2))
 
 
 def _occurrences(text: str) -> list[int]:
-    """Character offsets of whitespace tokens fuzzy-matching the marker.
-
-    Inverted scan: any fuzzy occurrence contains a literal marker 3-gram
-    (the prefilter guarantee above), so instead of walking every token we
-    walk the (few) 3-gram hits, expand each to its enclosing whitespace
-    token, and run the Levenshtein check only there.  Measured ~7x
-    cheaper than the all-tokens walk on candidate-heavy batches (rows
-    with one plain 'ingredients' word are the common candidate)."""
+    """Character offsets of whitespace tokens fuzzy-matching the marker."""
     hits: list[int] = []
-    last_end = -1
-    n = len(text)
-    for m in _GRAM_RE.finditer(text):
-        if m.start() < last_end:
-            continue  # same token as the previous gram hit
-        ts = m.start()
-        while ts > 0 and not text[ts - 1].isspace():
-            ts -= 1
-        te = m.end()
-        while te < n and not text[te].isspace():
-            te += 1
-        last_end = te
-        if _MIN_LEN <= te - ts <= _MAX_LEN and _lev_le(
-            text[ts:te], MARKER, MAX_EDITS
-        ):
-            hits.append(ts)
+    for m in _CAND_TOKEN_RE.finditer(text):
+        tok = m.group()
+        if not any(g in tok for g in _MARKER_GRAMS):
+            continue
+        if _lev_le(tok, MARKER, MAX_EDITS):
+            hits.append(m.start())
             if len(hits) > 2:  # reference requires exactly 2; 3+ never splits
                 return hits
     return hits
