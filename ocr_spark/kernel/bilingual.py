@@ -98,7 +98,15 @@ def split_block(text: str) -> tuple[str, str] | None:
     Returns (first_language_part, second_language_part), or None when the
     reference's conditions don't hold (not exactly 2 occurrences, or the
     first occurrence starts after character 5) — mirroring
-    ``split_ingrdients``'s ``None, None``."""
+    ``split_ingrdients``'s ``None, None``.
+
+    Intentional deviation: when both fuzzy headers match *identical*
+    literal text, the reference's ``block_text.index(ingr_title[1])``
+    finds the FIRST occurrence again (splitting at offset ~0 into an
+    empty first part); here the split lands at the true second
+    occurrence (``hits[1]``), which is the semantically correct split
+    point.  This, plus the token-level (vs substring) matching noted
+    above, is a deliberate bug-fix over the reference, not drift."""
     hits = _occurrences(text)
     if len(hits) != 2:
         return None

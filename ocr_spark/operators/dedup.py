@@ -424,7 +424,7 @@ def dedup_embedding_lsh(spark, sf_dir):
     verifies.  At the production near-dup regime (cos ~0.95, sign
     agreement ~0.93/bit) one band almost always fires while buckets stay
     tiny; this corpus' checked threshold of 0.4 (theta ~66 deg) is the
-    adversarial regime, where the 12-band OR still measures pair recall
+    adversarial regime, where the 16-band OR still measures pair recall
     0.93 vs the exact baseline (BENCH.md)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")

@@ -8,7 +8,10 @@ LCG generates the planes deterministically, and the *literal* component
 values are inlined into both the Spark column expressions and the DuckDB
 oracle SQL — the two engines therefore hash every vector identically, and
 the correctness gate stays exact (sign decisions are taken on the dot
-rounded to 6 dp, so summation-order float noise cannot flip a bit).
+rounded to 6 dp, which makes a summation-order flip vanishingly unlikely —
+the same accepted convention as the 6-dp cosine rounding; a dot sitting
+within float noise of a rounding boundary could still in principle bucket
+differently across engines, so this is a convention, not a guarantee).
 
 Components are drawn uniform in [-1, 1] at 3-decimal resolution, so each
 literal parses to the identical double in every engine.
