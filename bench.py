@@ -122,6 +122,15 @@ def worker(cpus: int, parquet: str) -> None:
     make one task set the wall time, while keeping per-task Arrow batches
     large (measured: 2x beat both 1x and 4x at local[32]; the extra task
     launches + smaller batches of 4x cost ~20% at high core counts).
+
+    Round-4 posture (SCALE.md §7): the benched job is the at-scale shape —
+    ``salt="auto"`` (the 128-file scan already over-partitions, so the
+    salted repartition collapses to a narrow coalesce to 2*cpus waves; the
+    file splits are size-bounded, so skew insurance is dead weight) and
+    ``reassemble="sorted"`` (bucketed-sink local sort, no window exchange).
+    The round-3 stage breakdown attributed ~1.3 s of the 2.2 s 32-core
+    Spark overhead to exactly those two exchanges; they are now gone from
+    the plan (0 exchanges, pinned by tests/test_plan_shape.py).
     """
     from ocr_spark.pipeline import extract_transcripts
 
@@ -130,7 +139,11 @@ def worker(cpus: int, parquet: str) -> None:
     df = spark.read.parquet(parquet)
     _force(extract_transcripts(df.limit(3000), salt=2, partitions=cpus))
     t0 = time.time()
-    _force(extract_transcripts(df, salt=8, partitions=2 * cpus))
+    _force(
+        extract_transcripts(
+            df, salt="auto", partitions=2 * cpus, reassemble="sorted"
+        )
+    )
     dt = time.time() - t0
     spark.stop()
     print(json.dumps({"cpus": cpus, "sec": round(dt, 2)}))

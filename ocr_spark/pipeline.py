@@ -4,15 +4,29 @@ Replaces the reference's sequential per-file loop
 (``NFT_OCR.py:1574-1579`` ``for infile in Path(indir).glob(...)``) with:
 
     read -> select (column prune before Arrow transfer)
-         -> salted repartition on hash(conv_id) (+ turn salt) -> mapInPandas
-         -> window reassembly over (conv_id, turn_idx)
+         -> [conditional partitioning stage] -> mapInPandas
+         -> [reassembly: global window | local sort | none]
 
 Design notes (100 TB posture):
-- the kernel is per-turn pure, so extraction itself needs NO grouping and NO
-  shuffle beyond the one explicit repartition — which exists solely to defuse
-  long-conversation skew (a handful of 10^5-turn conversations must not pin
-  single tasks).  The salt spreads one conversation's turns across
-  ``salt`` buckets; reassembly is deferred to the output window/sort.
+- the kernel is per-turn pure, so extraction itself needs NO grouping and
+  NO shuffle.  Both wide stages that used to be unconditional are now
+  conditional (round-3 verdict: the two exchanges were the measured ~2.2 s
+  Spark overhead at 32 cores, SCALE.md §7):
+
+  * **partitioning** (``salt="auto"``, the default): file-scan inputs have
+    size-bounded splits (``spark.sql.files.maxPartitionBytes`` caps any
+    task's bytes), so a 10^5-turn conversation cannot pin a task and the
+    salted repartition is dead weight — skipped, with a narrow
+    ``coalesce`` when the scan over-partitions.  The full salted shuffle
+    (``repartition(hash(conv_id), pmod(hash(turn_idx), salt))``) runs only
+    when the input arrives with fewer partitions than the session's
+    parallelism (an upstream agg, a handful of giant unsplittable inputs)
+    — exactly the case where skew insurance can pay for its shuffle.
+  * **reassembly** (``reassemble``): the global (conv_id, turn_idx) window
+    stays for full-fidelity artifacts, but the at-scale bucketed-sink
+    posture is ``"sorted"`` — ``sortWithinPartitions`` gives each output
+    file (conv, turn)-sorted rows with NO exchange; rank/size columns are
+    derivable at read time within a bucket.
 - only (conv_id, turn_idx, role, text, tool) cross the JVM->Python Arrow
   boundary; ts and any extra columns are joined back by key only if needed.
 - the whole cleanup chain is ONE mapInPandas stage: each extra UDF hop would
@@ -70,20 +84,40 @@ def _extract_map_no_spans(batches):
         yield extract_batch(pdf, with_spans=False)
 
 
+DEFAULT_SALT = 8
+
+
 def extract_transcripts(
     df: DataFrame,
     *,
-    salt: int = 8,
+    salt: int | str = "auto",
     partitions: int | None = None,
-    reassemble: bool = True,
+    reassemble: bool | str = True,
     spans: bool = False,
 ) -> DataFrame:
     """Run the extraction kernel over a transcripts DataFrame.
 
-    ``salt`` spreads each conversation over ``salt`` shuffle buckets
-    (north-rule skew defense: ``repartition(hash(conv_id), pmod(hash(turn_idx),
-    salt))``).  ``reassemble`` adds the stable-order window columns
-    (turn_rank, conv_turns) over (conv_id, turn_idx).
+    ``salt``:
+      - ``"auto"`` (default): shuffle only when it pays.  If the input
+        already has >= the target partition count, a narrow ``coalesce``
+        evens out the task waves (no exchange); if it has at least the
+        session's default parallelism, it passes through untouched (file
+        splits are size-bounded, so per-task work is bounded regardless of
+        conversation length); only an under-partitioned input (fewer
+        partitions than cores — an upstream agg or a few giant inputs)
+        pays the salted repartition.
+      - int > 0: unconditional skew insurance — spread each conversation
+        over ``salt`` shuffle buckets (``repartition(hash(conv_id),
+        pmod(hash(turn_idx), salt))``).
+      - 0: never repartition (caller vouches for the input partitioning,
+        e.g. a bucketed table feeding a bucketed sink).
+    ``reassemble``:
+      - ``True``: stable-order window columns (turn_rank, conv_turns) over
+        (conv_id, turn_idx) — one hash exchange; full-fidelity artifacts.
+      - ``"sorted"``: ``sortWithinPartitions(conv_id, turn_idx)`` — the
+        bucketed-sink posture: each output partition is (conv, turn)-sorted
+        with NO exchange, no extra columns.
+      - ``False``: raw kernel output order.
 
     ``spans=False`` (default, the at-scale posture) omits the inline
     ``spans_json`` column; derive the identical span relation from
@@ -95,16 +129,34 @@ def extract_transcripts(
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     pruned = df.select(*INPUT_COLUMNS)
-    salted = pruned.repartition(
-        n_part,
-        F.hash(F.col("conv_id")),
-        F.pmod(F.hash(F.col("turn_idx")), F.lit(salt)),
-    )
+    staged = pruned
+    eff_salt = salt
+    if salt == "auto":
+        n_in = pruned.rdd.getNumPartitions()
+        if n_in >= n_part:
+            # over-partitioned scan (e.g. many small files): narrow merge to
+            # the target wave count — adjacent partitions concatenate, no
+            # shuffle, and a no-op when counts already match
+            staged = pruned.coalesce(n_part)
+            eff_salt = 0
+        elif n_in >= spark.sparkContext.defaultParallelism:
+            # adequate parallelism and size-bounded splits: run in place
+            eff_salt = 0
+        else:
+            eff_salt = DEFAULT_SALT
+    if eff_salt:
+        staged = pruned.repartition(
+            n_part,
+            F.hash(F.col("conv_id")),
+            F.pmod(F.hash(F.col("turn_idx")), F.lit(eff_salt)),
+        )
     if spans:
-        extracted = salted.mapInPandas(_extract_map, OUTPUT_SCHEMA)
+        extracted = staged.mapInPandas(_extract_map, OUTPUT_SCHEMA)
     else:
-        extracted = salted.mapInPandas(_extract_map_no_spans, OUTPUT_SCHEMA_NO_SPANS)
+        extracted = staged.mapInPandas(_extract_map_no_spans, OUTPUT_SCHEMA_NO_SPANS)
 
+    if reassemble == "sorted":
+        return extracted.sortWithinPartitions("conv_id", "turn_idx")
     if not reassemble:
         return extracted
 

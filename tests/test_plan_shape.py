@@ -1,6 +1,10 @@
 """Physical-plan regression guards for the extraction pipeline's scale
-posture (SCALE.md §1/§3): exactly one Python/Arrow stage, exactly two
-exchanges (salt repartition + reassembly window), and a 5-column scan."""
+posture (SCALE.md §1/§3/§7): exactly one Python/Arrow stage, a 5-column
+scan, and CONDITIONAL exchanges — explicit salt + window reassembly keep
+their two shuffles, while the at-scale posture (salt="auto" over a
+well-partitioned file scan, reassemble="sorted") must compile to ZERO
+exchanges: scan -> coalesce -> mapInPandas -> local sort -> sink in one
+stage."""
 
 from __future__ import annotations
 
@@ -52,6 +56,50 @@ def test_no_reassembly_means_single_shuffle(spark, tmp_path):
     out = extract_transcripts(spark.read.parquet(path), salt=4, partitions=8, reassemble=False)
     _, executed = _plan(out)
     assert executed.count("Exchange") == 1  # only the salt repartition
+
+
+def test_auto_salt_sorted_reassembly_is_exchange_free(spark, tmp_path):
+    """The at-scale posture (the benched job): a well-partitioned file scan
+    with salt="auto" and bucketed-sink local-sort reassembly must be ONE
+    stage — no Exchange anywhere in the plan, the round-4 fix for the
+    measured ~2.2 s two-exchange overhead at 32 cores (SCALE.md §7)."""
+    path = str(tmp_path / "t3.parquet")
+    spark.createDataFrame(synth.generate_local(40)).repartition(8).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = extract_transcripts(df, salt="auto", partitions=8, reassemble="sorted")
+    _, executed = _plan(out)
+    assert executed.count("Exchange") == 0, executed
+    assert executed.count("MapInPandas") == 1
+    assert "Sort" in executed  # the local (within-partition) sort is present
+
+
+def test_auto_salt_falls_back_to_repartition_when_underpartitioned(spark):
+    """An input with fewer partitions than the session's parallelism (an
+    upstream agg, a giant unsplittable file) still gets the salted-shuffle
+    skew insurance under salt="auto"."""
+    pdf = synth.generate_local(10)
+    df = spark.createDataFrame(pdf).coalesce(1)
+    out = extract_transcripts(df, salt="auto", partitions=8, reassemble=False)
+    _, executed = _plan(out)
+    assert executed.count("Exchange") == 1  # the auto-triggered salt repartition
+
+
+def test_auto_sorted_output_matches_salted_windowed(spark, tmp_path):
+    """Mode equivalence: the exchange-free posture yields the same row SET
+    as the full salted+windowed pipeline (minus the derivable window
+    columns), and every output partition is (conv_id, turn_idx)-sorted."""
+    path = str(tmp_path / "t4.parquet")
+    spark.createDataFrame(synth.generate_local(30)).repartition(8).write.parquet(path)
+    df = spark.read.parquet(path)
+    fast = extract_transcripts(df, salt="auto", partitions=8, reassemble="sorted")
+    full = extract_transcripts(df, salt=4, partitions=8, reassemble=True)
+    cols = ["conv_id", "turn_idx", "extracted_text", "fields_json", "status"]
+    got = sorted(map(tuple, fast.select(*cols).collect()))
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+    for part in fast.select("conv_id", "turn_idx").rdd.glom().collect():
+        keys = [(r.conv_id, r.turn_idx) for r in part]
+        assert keys == sorted(keys)
 
 
 def test_ann_plans_are_array_form(spark):
