@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ocr_spark.operators import dedup as _dedup
 from ocr_spark.operators import hyperplanes as hp
 from ocr_spark.operators.tables import load
 
@@ -140,6 +141,27 @@ SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
 
 
+def _sig(e):
+    """Explode each vector into its ``N_TABLES`` (tbl, key) sign sketches."""
+    keys = F.array(
+        *[
+            hp.key_expr(F.col("emb"), ANN_PLANES[t * SIGN_BITS : (t + 1) * SIGN_BITS])
+            for t in range(N_TABLES)
+        ]
+    )
+    return e.select("vec_id", "emb", "nrm", F.posexplode(keys).alias("tbl", "key"))
+
+
+def ann_corpus_buckets(spark, sf_dir):
+    """Pre-guard corpus-side (tbl, key) relation of ``ann_lsh_bucketed`` —
+    audited standalone by bench.py's bucket-guard stats line."""
+    return (
+        _sig(_emb(spark, sf_dir))
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "tbl", "key")
+    )
+
+
 def ann_lsh_bucketed(spark, sf_dir, probe_radius: int = PROBE_RADIUS):
     """Multi-table sign-LSH + multi-probe: ``N_TABLES`` independent
     8-hyperplane sign sketches; a query searches, in every table, its own
@@ -153,14 +175,7 @@ def ann_lsh_bucketed(spark, sf_dir, probe_radius: int = PROBE_RADIUS):
     joins the broadcast probe set on (tbl, key), so the corpus never
     shuffles to generate pairs; the only wide ops run on the skinny
     (query_id, cand_id, cos) matches."""
-    e = _emb(spark, sf_dir)
-    keys = F.array(
-        *[
-            hp.key_expr(F.col("emb"), ANN_PLANES[t * SIGN_BITS : (t + 1) * SIGN_BITS])
-            for t in range(N_TABLES)
-        ]
-    )
-    sig = e.select("vec_id", "emb", "nrm", F.posexplode(keys).alias("tbl", "key"))
+    sig = _sig(_emb(spark, sf_dir))
     c = sig.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cand_id"),
         F.col("emb").alias("ce"),
@@ -168,6 +183,12 @@ def ann_lsh_bucketed(spark, sf_dir, probe_radius: int = PROBE_RADIUS):
         "tbl",
         "key",
     )
+    # skew guard (round-4): an over-popular (table, signature) bucket — the
+    # boilerplate regime — would make every probe that lands there scan it
+    # quadratically; cap mirrored in the oracle, inert at sf<=0.1
+    # (bench.py logs the dropped-bucket count; tests/test_skew.py covers
+    # the tripping regime)
+    c = _dedup._cap_buckets(c, ["tbl", "key"])
     masks = _probe_masks(probe_radius)
     q = (
         sig.filter(F.col("vec_id") < N_QUERIES)
@@ -204,13 +225,19 @@ WITH e AS ({_EMB_SQL}),
 sig AS (
 {sig_branches}
 ),
+csize AS (
+  SELECT tbl, key, count(*) AS bn FROM sig
+  WHERE vec_id >= {N_QUERIES} GROUP BY tbl, key
+),
 masks(mask) AS (VALUES {masks}),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
          round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
   FROM sig q CROSS JOIN masks m
   JOIN sig c ON c.tbl = q.tbl AND c.key = xor(q.key, m.mask)
+  JOIN csize s ON s.tbl = c.tbl AND s.key = c.key
   WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    AND s.bn <= {_dedup.MAX_BUCKET}
 ),
 ranked AS (
   SELECT query_id, cand_id, cos,
