@@ -78,8 +78,9 @@ DRIVER_WINDOW = [
     "doc_fingerprint", "doc_winnowing",
     # multimodal
     "mm_metadata_stats", "mm_frame_sample",
-    # transcripts (rows-only: the extraction flow itself)
-    "extract_pipeline", "extract_bilingual",
+    # transcripts (the extraction flow itself: one oracle-green aggregate
+    # stamp over the full pipeline + one rows-only block-language relation)
+    "extract_status_counts", "extract_bilingual",
 ]
 
 ALL: dict = {}

@@ -1,7 +1,11 @@
-"""Transcript-extraction operators (the engine's core), exposed to the
-driver as rows-only checks: the extraction kernel is not ANSI-SQL
-expressible (its ground truth is the in-repo Python oracle, enforced
-byte-for-byte by tests/test_parity.py), so these have no oracle_sql.
+"""Transcript-extraction operators (the engine's core).
+
+Mostly rows-only checks: the extraction kernel is not ANSI-SQL expressible
+(its ground truth is the in-repo Python oracle, enforced byte-for-byte by
+tests/test_parity.py), so those have no oracle_sql.  The exception is
+``extract_status_counts``: the corpus and kernel are deterministic, so its
+aggregate projection IS oracle-checkable against pinned literal values —
+the driver-window stamp for the whole pipeline.
 
 The transcripts table is synthesized deterministically in-query (pure
 function of conversation index — see ocr_spark.synth) because the driver's
@@ -69,6 +73,38 @@ def extract_pipeline(spark, sf_dir):
         "n_fields",
         "extracted_text",
     )
+
+
+def extract_status_counts(spark, sf_dir):
+    """Oracle-CHECKABLE projection of the extraction kernel's output (the
+    round-3 verdict's item 7): full pipeline over the deterministic
+    synthetic corpus -> per-status histogram with token/field/char sums.
+
+    The corpus is a pure function of conversation index (ocr_spark.synth)
+    and the kernel is pinned byte-for-byte by tests/test_parity.py, so
+    these aggregates are constants of the repo; the oracle is the literal
+    expected table.  Unlike the rows-only extraction stamps, a kernel
+    change that alters ANY status, token count, field count, or character
+    of extracted text now fails the driver's cross-engine value-hash."""
+    df = generate_spark(spark, N_CONVS, partitions=8)
+    out = extract_transcripts(df, salt=8, reassemble=False)
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("n_fields").cast("bigint").alias("sum_fields"),
+        F.sum(F.length("extracted_text")).cast("bigint").alias("sum_chars"),
+    )
+
+
+# the pinned constants (re-derive with the snippet in the docstring above;
+# tests/test_parity.py + the e2e run_extract flow pin the same kernel)
+EXTRACT_STATUS_SQL = """
+SELECT * FROM (VALUES
+  ('empty',    CAST(22 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('ok',       CAST(665 AS BIGINT), CAST(27952 AS BIGINT), CAST(1920 AS BIGINT), CAST(176129 AS BIGINT)),
+  ('rejected', CAST(42 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(status, n_turns, sum_tokens, sum_fields, sum_chars)
+"""
 
 
 def extract_fields_long(spark, sf_dir):
@@ -197,6 +233,7 @@ def extract_bilingual(spark, sf_dir):
 
 
 QUERIES = {
+    "extract_status_counts": (extract_status_counts, EXTRACT_STATUS_SQL),
     "extract_pipeline": (extract_pipeline, None),
     "extract_fields_long": (extract_fields_long, None),
     "extract_spans_typed": (extract_spans_typed, None),

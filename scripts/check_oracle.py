@@ -7,6 +7,12 @@ rounded) — stricter than any reasonable hash, so passing here implies
 passing the driver.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+       python scripts/check_oracle.py [sf_dir] --off-window
+
+``--off-window`` runs only the queries OUTSIDE the driver's 50-entry
+correctness snapshot (operators.DRIVER_WINDOW) — the automated gate for
+the operators the external per-round check never sees.  The verify skill
+runs this; run it manually before committing operator changes.
 """
 
 from __future__ import annotations
@@ -38,8 +44,16 @@ def canon(df: pd.DataFrame) -> tuple:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    off_window = "--off-window" in args
+    args = [a for a in args if a != "--off-window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    skip: set = set()
+    if off_window:
+        from ocr_spark.operators import DRIVER_WINDOW
+
+        skip = set(DRIVER_WINDOW)
 
     from pyspark.sql import SparkSession
 
@@ -66,6 +80,8 @@ def main():
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
             continue
         t0 = time.time()
         try:
