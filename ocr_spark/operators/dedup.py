@@ -104,26 +104,37 @@ def _hash60_sql(expr: str) -> str:
 
 
 def _shingles(spark, sf_dir):
-    """3-word shingles per document as stable 60-bit hashes."""
+    """3-word shingles per document as stable 60-bit hashes.
+
+    Built IN-ROW (round 4): the token array never leaves its row — consecutive
+    triples come from ``transform`` + ``element_at`` over the filtered token
+    array, all inside whole-stage codegen.  The previous posexplode + window
+    (``lead`` over ``partitionBy(doc_id)``) form shuffled EVERY TOKEN of the
+    corpus just to pair neighbors that were already adjacent in-row; at 100 TB
+    that was the biggest shuffle in the minhash pipeline.  Only the final
+    ``distinct`` (semantically required: shingle SETS) shuffles, and it
+    shuffles hashes, not text."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
-    w1 = F.col("w")
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        toks.withColumn("w2", F.lead("w", 1).over(win))
-        .withColumn("w3", F.lead("w", 2).over(win))
-        .filter(F.col("w3").isNotNull())
-        .select(
-            "doc_id",
-            _hash60(F.concat_ws(" ", w1, F.col("w2"), F.col("w3"))).alias("sh"),
-        )
-        .distinct()
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
     )
-    return sh
+    n = F.size(F.col("toks"))
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = F.transform(
+        idx,
+        lambda i: _hash60(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            )
+        ),
+    )
+    return toks.select("doc_id", F.explode(tri).alias("sh")).distinct()
 
 
 _SHINGLES_SQL = f"""
@@ -321,25 +332,30 @@ def dedup_simhash(spark, sf_dir):
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
     hashed = toks.select("doc_id", _hash60(F.col("w")).alias("h"))
-    bits = hashed.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
-    ).select(
-        "doc_id",
-        "b",
-        F.when(F.expr("shiftright(h, b) % 2") == 1, 1).otherwise(-1).alias("v"),
+    # Per-bit majority vote as 60 map-side-combined sum() columns over the
+    # per-token hash rows (round 4).  The previous form exploded 60 bit-rows
+    # PER TOKEN (a 60x row blowup on the corpus' biggest relation) and paid
+    # two shuffles (groupBy(doc, bit), then groupBy(doc)); this is one
+    # partial-aggregated shuffle of 60 small ints per doc, with the
+    # signature assembled from the votes in a pure projection.
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CAST(shiftright(h, {b}) & 1 AS INT) * 2 - 1")).alias(
+                f"v{b}"
+            )
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    sim = (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .select(
-            "doc_id",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(0)
-            .alias("contrib"),
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").cast("bigint").alias("simhash"))
-    )
+        for b in range(SIMHASH_BITS)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    sim = votes.select("doc_id", acc.cast("bigint").alias("simhash"))
     # sim feeds both the segment explode and the verify join; deliberately
     # NOT cached — a .cache() here pins all signatures in executor memory
     # for the rest of the session (at 10^9 docs, a real cost), while
