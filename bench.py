@@ -30,6 +30,11 @@ Usage:
     python bench.py                      # full bench
     python bench.py --worker K PARQUET   # internal: timed extraction at local[K]
     python bench.py --no-scaling         # skip the two-JVM scaling runs
+    python bench.py --scaling-only       # extraction scaling pairs only;
+                                         # appends a BENCH.md history row
+                                         # without rewriting the headline
+                                         # sections (cheap way to sample
+                                         # more steal windows)
 """
 
 from __future__ import annotations
@@ -411,6 +416,9 @@ def ann_recall(spark, sf_dir: str) -> dict:
         out[f"ivf_nprobe{np_}"] = recall(
             similarity.ann_ivf_flat(spark, sf_dir, n_probe=np_)
         )
+        out[f"ivf_kmeans_nprobe{np_}"] = recall(
+            similarity.ann_ivf_kmeans(spark, sf_dir, n_probe=np_)
+        )
 
     dd_dir = "/root/testdata/sf0.01"
     exact = {
@@ -472,6 +480,19 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     do_scaling = "--no-scaling" not in sys.argv
+
+    if "--scaling-only" in sys.argv:
+        ex = run_scaling(cpus)
+        _append_history_row(ex)
+        print(json.dumps({
+            "metric": "extraction scaling only (history row appended)",
+            "value": ex.get("scaling_efficiency"),
+            "unit": "efficiency",
+            "queries": {},
+            "sf": sf,
+            "extraction": ex,
+        }))
+        return
 
     import __spark_entry__ as entrymod
 
@@ -614,7 +635,17 @@ def _write_bench_md(result: dict) -> None:
         for np_ in (1, 2, 4):
             key = f"ivf_nprobe{np_}"
             if key in rc:
-                lines.append(f"| IVF-Flat (8 cells) | nprobe {np_} | {rc[key]} |")
+                lines.append(
+                    f"| IVF-Flat (8 cells, deterministic seed codebook) "
+                    f"| nprobe {np_} | {rc[key]} |"
+                )
+        for np_ in (1, 2, 4):
+            key = f"ivf_kmeans_nprobe{np_}"
+            if key in rc:
+                lines.append(
+                    f"| IVF-Flat (8 cells, 2-iter k-means codebook) "
+                    f"| nprobe {np_} | {rc[key]} |"
+                )
         if "dedup_emb_pair_recall" in rc:
             from ocr_spark.operators.dedup import EMB_LSH_BANDS, EMB_LSH_BITS
 
@@ -714,21 +745,51 @@ def _write_bench_md(result: dict) -> None:
                 if ln.startswith("| 20") and ln.count("|") == 8:
                     prior.append(ln.rstrip("\n"))
     if ex and "error" not in ex:
-        import datetime
-
-        sec_pair = ex.get("secondary") or {}
-        pk = ex.get("peak") or {}
-        now = datetime.datetime.now(datetime.timezone.utc).strftime("%m-%d %H:%M")
-        prior.append(
-            f"| 2026-{now} | {ex.get('scaling_efficiency', '')} "
-            f"| {ex.get('normalized_efficiency', '')} "
-            f"| {(ex.get('control') or {}).get('efficiency', '')} "
-            f"| {sec_pair.get('scaling_efficiency', '')} "
-            f"| {sec_pair.get('normalized_efficiency', '')} "
-            f"| {pk.get('turns_per_sec', '')} |"
-        )
+        prior.append(_history_row(ex))
     if prior:
         lines += hist_header + prior
+    with open(bench_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _history_row(ex: dict) -> str:
+    import datetime
+
+    sec_pair = ex.get("secondary") or {}
+    pk = ex.get("peak") or {}
+    now = datetime.datetime.now(datetime.timezone.utc).strftime("%m-%d %H:%M")
+    return (
+        f"| 2026-{now} | {ex.get('scaling_efficiency', '')} "
+        f"| {ex.get('normalized_efficiency', '')} "
+        f"| {(ex.get('control') or {}).get('efficiency', '')} "
+        f"| {sec_pair.get('scaling_efficiency', '')} "
+        f"| {sec_pair.get('normalized_efficiency', '')} "
+        f"| {pk.get('turns_per_sec', '')} |"
+    )
+
+
+def _append_history_row(ex: dict) -> None:
+    """--scaling-only: splice one extraction-history row into BENCH.md in
+    place (after the last existing history row), leaving every other
+    section exactly as the last full bench wrote it."""
+    if not ex or "error" in ex:
+        return
+    bench_md = os.path.join(REPO, "BENCH.md")
+    if not os.path.exists(bench_md):
+        with open(bench_md, "w") as f:
+            f.write(_history_row(ex) + "\n")
+        return
+    with open(bench_md) as f:
+        lines = f.read().splitlines()
+    last = max(
+        (i for i, ln in enumerate(lines)
+         if ln.startswith("| 20") and ln.count("|") == 8),
+        default=None,
+    )
+    if last is None:
+        lines += ["", _history_row(ex)]
+    else:
+        lines.insert(last + 1, _history_row(ex))
     with open(bench_md, "w") as f:
         f.write("\n".join(lines) + "\n")
 

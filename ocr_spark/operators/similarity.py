@@ -274,20 +274,33 @@ def ann_ivf_flat(spark, sf_dir, n_probe: int = N_PROBE):
         .orderBy("vec_id")
         .collect()
     )
-    # centroid dots computed in-row against literal arrays (the codebook is
-    # broadcast state, same as a real IVF index); struct (cdot, -cent_id)
-    # sorted desc == ORDER BY cdot DESC, cent_id ASC
+    cents = [(int(r.vec_id), list(r.emb)) for r in cent_rows]
+    return _ivf_search(e, cents, n_probe)
+
+
+def _ranked_cells(cents):
+    """In-row (cdot, -cent_id) structs sorted desc == ORDER BY cdot DESC,
+    cent_id ASC — centroid dots computed against literal arrays (the
+    codebook is broadcast state, same as a real IVF index); dots rounded to
+    6 dp so the cell ranking cannot flip between engines."""
     cdots = F.array(
         *[
             F.struct(
-                F.round(hp.dot_plane(F.col("emb"), list(r.emb)), 6).alias("cdot"),
-                F.lit(-int(r.vec_id)).alias("neg_id"),
+                F.round(hp.dot_plane(F.col("emb"), vec), 6).alias("cdot"),
+                F.lit(-cid).alias("neg_id"),
             )
-            for r in cent_rows
+            for cid, vec in cents
         ]
     )
-    ranked_cells = F.sort_array(cdots, asc=False)
-    scored = e.withColumn("cells", ranked_cells)
+    return F.sort_array(cdots, asc=False)
+
+
+def _ivf_search(e, cents, n_probe: int):
+    """Probe-limited exact search against a literal codebook: cell
+    assignment is a pure projection (zero shuffles until the skinny
+    top-k); a query probes its ``n_probe`` nearest cells; the probe set
+    broadcasts into an equi-join on ``cell``."""
+    scored = e.withColumn("cells", _ranked_cells(cents))
     assign = scored.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cand_id"),
         F.col("emb").alias("ce"),
@@ -310,6 +323,55 @@ def ann_ivf_flat(spark, sf_dir, n_probe: int = N_PROBE):
         _cos(F.col("qe"), F.col("qn"), F.col("ce"), F.col("cn")).alias("cos"),
     )
     return _topk(cand)
+
+
+KMEANS_ITERS = 2
+
+
+def ann_ivf_kmeans(spark, sf_dir, n_probe: int = N_PROBE):
+    """IVF-Flat with a k-means-TRAINED codebook (the production path the
+    deterministic stand-in of ``ann_ivf_flat`` documents): ``KMEANS_ITERS``
+    Lloyd iterations, fully deterministic and cross-engine reproducible.
+
+    Each iteration is one corpus-wide in-row assignment (the same
+    zero-shuffle cell projection as the search) plus one map-side-combined
+    aggregation of 64 per-dimension ``avg()`` columns; the new codebook
+    (≤ ``N_CENTROIDS`` × 64 doubles) is collected to the driver — the same
+    legitimate broadcast-state move as the literal codebook itself.  Means
+    and dots are rounded to 6 dp so assignments cannot flip between
+    engines (the repo's accepted float convention); empty cells simply
+    drop out of the codebook, identically in both engines.  At 10⁹ vectors
+    the training loop runs on a sample (classic IVF practice) and the
+    per-iteration cost is one scan + one 8×64-double aggregate — nothing
+    driver-side grows with the corpus."""
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    seed_rows = (
+        corpus.filter(F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [(int(r.vec_id), list(r.emb)) for r in seed_rows]
+    for _ in range(KMEANS_ITERS):
+        assigned = corpus.withColumn(
+            "cell", (-_ranked_cells(cents)[0]["neg_id"])
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("emb")[i]), 6).alias(f"m{i}")
+                    for i in range(hp.DIM)
+                ]
+            )
+            .orderBy("cell")
+            .collect()
+        )
+        cents = [
+            (int(r["cell"]), [float(r[f"m{i}"]) for i in range(hp.DIM)])
+            for r in means
+        ]
+    return _ivf_search(e, cents, n_probe)
 
 
 ANN_IVF_SQL = f"""
@@ -349,8 +411,76 @@ SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
 
 
+def _ivf_kmeans_sql() -> str:
+    """The Lloyd loop unrolled: c0 (seed) -> a1 -> c1 -> a2 -> c2, then the
+    identical probe/rank tail as ANN_IVF_SQL against the trained c2."""
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, emb, cent_id AS cell FROM (
+    SELECT x.vec_id, x.emb, c.cent_id,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(list_dot_product(x.emb, c.cemb), 6) DESC, c.cent_id) AS rk
+    FROM e x CROSS JOIN {cents} c WHERE x.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+)"""
+
+    def means(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT cell AS cent_id, list(v ORDER BY dim) AS cemb FROM (
+    SELECT a.cell, d.dim, round(avg(a.emb[d.dim]), 6) AS v
+    FROM {assigned} a CROSS JOIN (SELECT unnest(range(1, {hp.DIM + 1})) AS dim) d
+    GROUP BY a.cell, d.dim
+  ) GROUP BY cell
+)"""
+
+    iters = ",\n".join(
+        [assign("c0", "a1"), means("a1", "c1"), assign("c1", "a2"), means("a2", "c2")]
+    )
+    return f"""
+WITH e AS ({_EMB_SQL}),
+c0 AS (
+  SELECT vec_id AS cent_id, emb AS cemb FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+{iters},
+vd AS (
+  SELECT x.vec_id, x.emb, x.nrm, c.cent_id,
+         round(list_dot_product(x.emb, c.cemb), 6) AS cdot
+  FROM e x CROSS JOIN c2 c
+),
+cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS cell_rk
+  FROM vd
+),
+assign AS (
+  SELECT vec_id AS cand_id, emb AS ce, nrm AS cn, cent_id AS cell
+  FROM cells WHERE cell_rk = 1 AND vec_id >= {N_QUERIES}
+),
+probes AS (
+  SELECT vec_id AS query_id, emb AS qe, nrm AS qn, cent_id AS cell
+  FROM cells WHERE cell_rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.cand_id,
+         round(list_dot_product(p.qe, a.ce) / (p.qn * a.cn), 6) AS cos
+  FROM probes p JOIN assign a USING (cell)
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+  FROM cand
+)
+SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+ANN_IVF_KMEANS_SQL = _ivf_kmeans_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_flat": (ann_ivf_flat, ANN_IVF_SQL),
+    "ann_ivf_kmeans": (ann_ivf_kmeans, ANN_IVF_KMEANS_SQL),
 }
