@@ -141,6 +141,15 @@ def worker(cpus: int, parquet: str) -> None:
 
     spark = _session(cpus, shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # Scan-split sizing (runtime conf, scoped to this extraction session):
+    # the ~25 MB/128-file bench corpus must yield >= 2*cpus scan splits so
+    # the pipeline's salt="auto" narrow-coalesce branch packs 2 task waves.
+    # Default packing merged the small files into a SINGLE 32-split wave
+    # whose longest task set the wall (~2.3 s of wave imbalance at 32
+    # cores, round-4 event-log breakdown, SCALE.md §7).  Rule of thumb:
+    # maxPartitionBytes ~ total_bytes / (2 * cores), openCost small.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
     df = spark.read.parquet(parquet)
     _force(extract_transcripts(df.limit(3000), salt=2, partitions=cpus))
     t0 = time.time()

@@ -28,6 +28,8 @@ def main():
         .config("spark.driver.memory", "16g")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     parquet = os.path.join(REPO, ".bench", "transcripts_60000.parquet")
@@ -35,7 +37,13 @@ def main():
     def _force(d): d.write.format("noop").mode("overwrite").save()
     _force(extract_transcripts(df.limit(3000), salt=2, partitions=cpus))
     t0 = time.time()
-    _force(extract_transcripts(df, salt=8, partitions=2*cpus))
+    # round 4: the benched at-scale shape (zero exchanges); pass
+    # "--legacy" to measure the old salt=8 + window form instead
+    if "--legacy" in sys.argv:
+        _force(extract_transcripts(df, salt=8, partitions=2*cpus))
+    else:
+        _force(extract_transcripts(df, salt="auto", partitions=2*cpus,
+                                   reassemble="sorted"))
     wall = time.time() - t0
     spark.stop()
     time.sleep(1)
