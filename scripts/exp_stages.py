@@ -23,7 +23,8 @@ def main():
         .config("spark.sql.shuffle.partitions", str(2*cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                "20000" if cpus >= 32 else "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.eventLog.enabled", "true")
@@ -32,10 +33,14 @@ def main():
         .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    # mirror the bench worker's scan-split sizing (2 task waves at 2*cpus)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
     parquet = os.path.join(REPO, ".bench", "transcripts_60000.parquet")
     df = spark.read.parquet(parquet)
     def _force(d): d.write.format("noop").mode("overwrite").save()
-    _force(extract_transcripts(df.limit(3000), salt=2, partitions=cpus))
+    _force(extract_transcripts(df.limit(3000), salt="auto", partitions=2*cpus,
+                               reassemble="sorted"))
     t0 = time.time()
     # round 4: the benched at-scale shape (zero exchanges); pass
     # "--legacy" to measure the old salt=8 + window form instead
