@@ -276,8 +276,14 @@ def run_scaling(cpus: int) -> dict:
     # corpus keeps the local[2] runs inside the time budget; scaling
     # efficiency is a ratio, so corpus size cancels out.  Runs before the
     # peak probe — the efficiency evidence outranks the vanity number.
+    # The secondary pair ALWAYS runs at least its first rep (later reps
+    # stay deadline-gated inside _measure_pair): a steal-heavy window can
+    # slow the headline suite + primary reps enough to eat the whole soft
+    # budget, and dropping the secondary entirely would erase the one
+    # efficiency measurement taken where the hardware permits scaling —
+    # the evidence outranks ~1.5 min of worst-case wall.
     lo2 = int(os.environ.get("SPARK_GRAFT_SCALE_N2", "2"))
-    if lo2 and 4 * lo2 != 4 * lo and time.time() < deadline:
+    if lo2 and 4 * lo2 != 4 * lo:
         # 20k convs (~106k turns): big enough that fixed per-job overhead
         # (~2.5s) stays small next to the local[2] kernel time; 12k was
         # measured to understate efficiency at local[8] for this reason
