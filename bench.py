@@ -151,15 +151,18 @@ def worker(cpus: int, parquet: str) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
     spark.conf.set("spark.sql.files.openCostInBytes", "16384")
     df = spark.read.parquet(parquet)
-    # Warmup runs the SAME plan shape as the timed job (salt="auto",
-    # sorted sink) on a 3000-row slice: moves first-compile of this plan's
-    # codegen + Arrow writer init out of the timed window.  The old
-    # different-shape warmup (salt=2 repartition) left ~1.0 s of
-    # first-run cost inside the timed job at local[32] (exp_shape.py:
-    # mean 6.46 s -> 5.42 s, interleaved best-of-3).
+    # Warmup on a 3000-row slice with salt=0 (NOT "auto": limit() collapses
+    # the input to one partition, and auto-salt on a limited/
+    # under-partitioned input resolves to the salted-repartition plan — an
+    # Exchange the timed zero-exchange job never compiles).  salt=0 +
+    # sorted sink warms exactly the timed job's operator set — mapInPandas
+    # codegen, Python worker fork, Arrow writer init, local sort — with no
+    # exchange.  Moving this first-run cost out of the timed window is
+    # worth ~1.0 s at local[32] (exp_shape.py: mean 6.46 s -> 5.42 s,
+    # interleaved best-of-3).
     _force(
         extract_transcripts(
-            df.limit(3000), salt="auto", partitions=2 * cpus, reassemble="sorted"
+            df.limit(3000), salt=0, partitions=2 * cpus, reassemble="sorted"
         )
     )
     t0 = time.time()
@@ -437,12 +440,15 @@ def ann_recall(spark, sf_dir: str) -> dict:
         out[f"lsh_radius{radius}"] = recall(
             similarity.ann_lsh_bucketed(spark, sf_dir, probe_radius=radius)
         )
+    # train the k-means codebook ONCE — it is independent of n_probe, so
+    # the probe sweep reuses it instead of paying the training scans 3x
+    km_cents = similarity.ivf_kmeans_codebook(spark, sf_dir)
     for np_ in (1, 2, 4):
         out[f"ivf_nprobe{np_}"] = recall(
             similarity.ann_ivf_flat(spark, sf_dir, n_probe=np_)
         )
         out[f"ivf_kmeans_nprobe{np_}"] = recall(
-            similarity.ann_ivf_kmeans(spark, sf_dir, n_probe=np_)
+            similarity.ann_ivf_kmeans(spark, sf_dir, n_probe=np_, cents=km_cents)
         )
 
     dd_dir = "/root/testdata/sf0.01"
@@ -594,9 +600,9 @@ def _write_bench_md(result: dict) -> None:
                     hl_prior.append(ln.rstrip("\n"))
     import datetime
 
-    now_utc = datetime.datetime.now(datetime.timezone.utc).strftime("%m-%d %H:%M")
+    now_utc = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M")
     hl_prior.append(
-        f"| 2026-{now_utc} | {result['value']} | "
+        f"| {now_utc} | {result['value']} | "
         + " | ".join(str(result["queries"].get(q, "")) for q in HEADLINE)
         + " |"
     )
@@ -782,9 +788,9 @@ def _history_row(ex: dict) -> str:
 
     sec_pair = ex.get("secondary") or {}
     pk = ex.get("peak") or {}
-    now = datetime.datetime.now(datetime.timezone.utc).strftime("%m-%d %H:%M")
+    now = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M")
     return (
-        f"| 2026-{now} | {ex.get('scaling_efficiency', '')} "
+        f"| {now} | {ex.get('scaling_efficiency', '')} "
         f"| {ex.get('normalized_efficiency', '')} "
         f"| {(ex.get('control') or {}).get('efficiency', '')} "
         f"| {sec_pair.get('scaling_efficiency', '')} "

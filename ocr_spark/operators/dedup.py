@@ -89,7 +89,9 @@ def bucket_guard_stats(df, key_cols: list[str], cap: int | None = None):
     )
     return {
         "n_buckets": agg.n_buckets,
-        "max_bucket": agg.max_bucket,
+        # max() over zero rows is NULL — render an empty relation as 0 so
+        # consumers can compare max_bucket <= cap without a None check
+        "max_bucket": int(agg.max_bucket or 0),
         "n_dropped_buckets": int(agg.n_dropped_buckets or 0),
         "n_dropped_rows": int(agg.n_dropped_rows or 0),
     }

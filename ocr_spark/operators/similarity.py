@@ -328,10 +328,13 @@ def _ivf_search(e, cents, n_probe: int):
 KMEANS_ITERS = 2
 
 
-def ann_ivf_kmeans(spark, sf_dir, n_probe: int = N_PROBE):
+def ann_ivf_kmeans(spark, sf_dir, n_probe: int = N_PROBE, cents=None):
     """IVF-Flat with a k-means-TRAINED codebook (the production path the
     deterministic stand-in of ``ann_ivf_flat`` documents): ``KMEANS_ITERS``
     Lloyd iterations, fully deterministic and cross-engine reproducible.
+    Training is independent of ``n_probe`` — pass a precomputed ``cents``
+    (from ``ivf_kmeans_codebook``) to sweep probe settings without paying
+    the training scans again (bench.py's recall sweep does).
 
     Each iteration is one corpus-wide in-row assignment (the same
     zero-shuffle cell projection as the search) plus one map-side-combined
@@ -344,6 +347,14 @@ def ann_ivf_kmeans(spark, sf_dir, n_probe: int = N_PROBE):
     the training loop runs on a sample (classic IVF practice) and the
     per-iteration cost is one scan + one 8×64-double aggregate — nothing
     driver-side grows with the corpus."""
+    if cents is None:
+        cents = ivf_kmeans_codebook(spark, sf_dir)
+    return _ivf_search(_emb(spark, sf_dir), cents, n_probe)
+
+
+def ivf_kmeans_codebook(spark, sf_dir):
+    """The deterministic ``KMEANS_ITERS``-iteration Lloyd training loop for
+    ``ann_ivf_kmeans``, split out so a probe sweep trains once."""
     e = _emb(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES)
     seed_rows = (
@@ -371,7 +382,7 @@ def ann_ivf_kmeans(spark, sf_dir, n_probe: int = N_PROBE):
             (int(r["cell"]), [float(r[f"m{i}"]) for i in range(hp.DIM)])
             for r in means
         ]
-    return _ivf_search(e, cents, n_probe)
+    return cents
 
 
 ANN_IVF_SQL = f"""

@@ -96,8 +96,10 @@ def extract_status_counts(spark, sf_dir):
     )
 
 
-# the pinned constants (re-derive with the snippet in the docstring above;
-# tests/test_parity.py + the e2e run_extract flow pin the same kernel)
+# the pinned constants — after an intentional kernel/corpus change,
+# re-derive with `extract_status_counts(spark, None).toPandas()` and paste
+# the new values (tests/test_parity.py + the e2e run_extract flow pin the
+# same kernel, so an unintentional drift fails there too)
 EXTRACT_STATUS_SQL = """
 SELECT * FROM (VALUES
   ('empty',    CAST(22 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -18,10 +18,14 @@ Design notes (100 TB posture):
     task's bytes), so a 10^5-turn conversation cannot pin a task and the
     salted repartition is dead weight — skipped, with a narrow
     ``coalesce`` when the scan over-partitions.  The full salted shuffle
-    (``repartition(hash(conv_id), pmod(hash(turn_idx), salt))``) runs only
+    (``repartition(hash(conv_id), pmod(hash(turn_idx), salt))``) runs
     when the input arrives with fewer partitions than the session's
     parallelism (an upstream agg, a handful of giant unsplittable inputs)
-    — exactly the case where skew insurance can pay for its shuffle.
+    OR when its plan contains a wide node that can correlate partition
+    membership with key values (a groupBy/sort/repartition on conv_id
+    co-locates whole conversations, so partition count alone proves
+    nothing) — exactly the cases where skew insurance pays for its
+    shuffle.
   * **reassembly** (``reassemble``): the global (conv_id, turn_idx) window
     stays for full-fidelity artifacts, but the at-scale bucketed-sink
     posture is ``"sorted"`` — ``sortWithinPartitions`` gives each output
@@ -86,6 +90,35 @@ def _extract_map_no_spans(batches):
 
 DEFAULT_SALT = 8
 
+# Logical-plan nodes after which partition layout can CORRELATE with key
+# values (a groupBy/repartition/sort/join by conv_id co-locates whole
+# conversations, so one partition can hold a 10^5-turn conversation even
+# when the partition COUNT looks healthy).  A plain file scan
+# (Relation/Filter/Project only) has size-bounded splits instead —
+# `spark.sql.files.maxPartitionBytes` caps any task's bytes regardless of
+# conversation length — which is the only case where skipping the salted
+# repartition is safe.
+_KEY_CORRELATED_NODES = (
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "RepartitionByExpression",
+    "Deduplicate",
+    "GlobalLimit",
+    "LogicalRDD",  # opaque RDD-backed input: partitioning unknowable, assume the worst
+)
+
+
+def _partitioning_may_correlate(df: DataFrame) -> bool:
+    """True when the input's optimized logical plan contains any node that
+    can make partition membership a function of key values (see
+    ``_KEY_CORRELATED_NODES``) — the case where partition-count heuristics
+    are blind to long-conversation skew and salt="auto" must keep the
+    salted repartition."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return any(node in plan for node in _KEY_CORRELATED_NODES)
+
 
 def extract_transcripts(
     df: DataFrame,
@@ -98,14 +131,18 @@ def extract_transcripts(
     """Run the extraction kernel over a transcripts DataFrame.
 
     ``salt``:
-      - ``"auto"`` (default): shuffle only when it pays.  If the input
-        already has >= the target partition count, a narrow ``coalesce``
-        evens out the task waves (no exchange); if it has at least the
-        session's default parallelism, it passes through untouched (file
-        splits are size-bounded, so per-task work is bounded regardless of
-        conversation length); only an under-partitioned input (fewer
-        partitions than cores — an upstream agg or a few giant inputs)
-        pays the salted repartition.
+      - ``"auto"`` (default): shuffle only when it pays.  The
+        partition-count heuristics apply ONLY to scan-shaped inputs
+        (Relation/Filter/Project plans), where file splits are
+        size-bounded and per-task work is bounded regardless of
+        conversation length: >= the target partition count gets a narrow
+        ``coalesce`` to even the task waves (no exchange); >= the
+        session's default parallelism passes through untouched.  An input
+        whose plan contains a wide node (groupBy, join, sort, repartition
+        by key, ...) keeps the salted repartition REGARDLESS of partition
+        count — after a shuffle keyed on conv_id, one partition can hold
+        a 10^5-turn conversation while the count looks healthy — as does
+        an under-partitioned input (fewer partitions than cores).
       - int > 0: unconditional skew insurance — spread each conversation
         over ``salt`` shuffle buckets (``repartition(hash(conv_id),
         pmod(hash(turn_idx), salt))``).
@@ -133,7 +170,12 @@ def extract_transcripts(
     eff_salt = salt
     if salt == "auto":
         n_in = pruned.rdd.getNumPartitions()
-        if n_in >= n_part:
+        if _partitioning_may_correlate(pruned):
+            # shuffled/grouped/sorted upstream: partition membership can be
+            # a function of conv_id, so a healthy partition COUNT proves
+            # nothing about per-task work — keep the skew insurance
+            eff_salt = DEFAULT_SALT
+        elif n_in >= n_part:
             # over-partitioned scan (e.g. many small files): narrow merge to
             # the target wave count — adjacent partitions concatenate, no
             # shuffle, and a no-op when counts already match

@@ -84,6 +84,24 @@ def test_auto_salt_falls_back_to_repartition_when_underpartitioned(spark):
     assert executed.count("Exchange") == 1  # the auto-triggered salt repartition
 
 
+def test_auto_salt_keeps_insurance_on_key_correlated_input(spark, tmp_path):
+    """salt="auto" must NOT trust partition count when the input's plan
+    contains a wide node: after repartition("conv_id") (or a groupBy/sort
+    on it) whole conversations are co-located, so a healthy-looking
+    partition count can still hide a 10^5-turn conversation in one task.
+    The salted repartition must survive for such inputs."""
+    path = str(tmp_path / "t5.parquet")
+    spark.createDataFrame(synth.generate_local(40)).write.parquet(path)
+    df = spark.read.parquet(path).repartition(8, "conv_id")  # >= n_part, keyed
+    out = extract_transcripts(df, salt="auto", partitions=8, reassemble=False)
+    _, executed = _plan(out)
+    # exactly one salt exchange directly feeding the kernel (the user's own
+    # repartition(8, conv_id) collapses into it: Catalyst drops a
+    # repartition that is immediately re-shuffled)
+    assert executed.count("Exchange") >= 1, executed
+    assert "pmod" in executed, executed  # the salt expression is present
+
+
 def test_auto_sorted_output_matches_salted_windowed(spark, tmp_path):
     """Mode equivalence: the exchange-free posture yields the same row SET
     as the full salted+windowed pipeline (minus the derivable window
