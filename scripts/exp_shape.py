@@ -25,6 +25,16 @@ Two candidate levers, each a fresh pinned JVM on the bench corpus:
 packed the scan into a single 32-task wave, so it A/B'd warmup size on a
 different plan; this script re-tests warmup with the confs aligned.)
 
+CAVEAT on the "SAME shape" label (post-hoc review finding): limit(3000)
+collapses the warmup input to one partition, so salt="auto" resolves to
+the salted-REPARTITION branch — the w2warm/w3warm warmups actually
+compiled an Exchange-bearing plan, not the timed job's zero-exchange
+topology.  The measured ~1.0 s gain therefore came from warming the
+mapInPandas/sorted-sink operator set (vs the old window-reassembly
+shape), not from topology identity; bench.worker now passes salt=0 in
+its warmup so the warmed plan is genuinely exchange-free.  The A/B
+conclusion (sorted-sink-shaped warmup >> old-shape warmup) stands.
+
 Usage: python scripts/exp_shape.py [CPUS] [REPS]
 """
 
