@@ -39,7 +39,9 @@ def main():
     parquet = os.path.join(REPO, ".bench", "transcripts_60000.parquet")
     df = spark.read.parquet(parquet)
     def _force(d): d.write.format("noop").mode("overwrite").save()
-    _force(extract_transcripts(df.limit(3000), salt="auto", partitions=2*cpus,
+    # salt=0: limit() collapses to one partition and auto-salt would warm
+    # the Exchange-bearing repartition plan instead (same fix as bench.worker)
+    _force(extract_transcripts(df.limit(3000), salt=0, partitions=2*cpus,
                                reassemble="sorted"))
     t0 = time.time()
     # round 4: the benched at-scale shape (zero exchanges); pass
