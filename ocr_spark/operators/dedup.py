@@ -105,18 +105,32 @@ def _hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-def _shingles(spark, sf_dir):
-    """3-word shingles per document as stable 60-bit hashes.
+def _shingle_arrays(spark, sf_dir):
+    """(doc_id, sh_arr) — each document's DISTINCT 3-word shingle set as an
+    in-row array of stable 60-bit hashes, with ZERO shuffles.
 
     Built IN-ROW (round 4): the token array never leaves its row — consecutive
     triples come from ``transform`` + ``element_at`` over the filtered token
-    array, all inside whole-stage codegen.  The previous posexplode + window
-    (``lead`` over ``partitionBy(doc_id)``) form shuffled EVERY TOKEN of the
-    corpus just to pair neighbors that were already adjacent in-row; at 100 TB
-    that was the biggest shuffle in the minhash pipeline.  Only the final
-    ``distinct`` (semantically required: shingle SETS) shuffles, and it
-    shuffles hashes, not text."""
-    d = load(spark, sf_dir, "documents")
+    array, and the set semantics come from ``array_distinct`` (dedup within a
+    doc needs no cross-row exchange), all inside whole-stage codegen.  The
+    previous posexplode + window form shuffled EVERY TOKEN of the corpus just
+    to pair neighbors that were already adjacent in-row, then ``distinct`` and
+    ``groupBy(doc_id)`` shuffled every shingle twice more; at 100 TB those
+    were the biggest shuffles in the minhash pipeline.  Consumers derive
+    per-doc shingle counts as ``size(sh_arr)`` (no sizes aggregation) and
+    explode only where a flat relation is genuinely needed.
+
+    The hash chain is the expensive map work of the whole minhash pipeline,
+    so it must actually run wide: when the source scan under-parallelizes
+    (small fixtures arrive as one row group -> one partition; a 100 TB
+    corpus has thousands of splits and skips this), fan the raw (doc_id,
+    text) out to the session's parallelism first — text is the cheapest
+    relation this pipeline could ever shuffle, strictly smaller than the
+    old exploded-shingle exchange it replaces."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
     toks = d.select(
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
@@ -136,7 +150,16 @@ def _shingles(spark, sf_dir):
             )
         ),
     )
-    return toks.select("doc_id", F.explode(tri).alias("sh")).distinct()
+    return toks.select("doc_id", F.array_distinct(tri).alias("sh_arr"))
+
+
+def _shingles(spark, sf_dir):
+    """Flat (doc_id, sh) distinct-shingle relation — explode of
+    ``_shingle_arrays``; identical rows to the old explode-then-``distinct``
+    form (shingles are already distinct within their row) but shuffle-free."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh_arr").alias("sh")
+    )
 
 
 _SHINGLES_SQL = f"""
@@ -176,19 +199,28 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
-def minhash_bands(spark, sf_dir, sh=None):
+def minhash_bands(spark, sf_dir, shingle_arrays=None):
     """Pre-guard (doc_id, band, s0, s1) LSH key relation — the candidate
     join key of ``dedup_minhash_lsh``, also audited standalone by bench.py's
-    bucket-guard stats line.  All k minhashes come from ONE map-side-combined
-    aggregation (k ``min()`` expressions) instead of a k-fold crossJoin row
-    blowup + shuffle on (doc_id, i): one shuffle on doc_id, k-fold less
-    shuffle volume."""
-    sh = _shingles(spark, sf_dir) if sh is None else sh
-    mh = sh.groupBy("doc_id").agg(
+    bucket-guard stats line.  All k minhashes are computed IN-ROW over the
+    per-doc shingle array (``array_min`` of a ``transform`` per hash
+    function), so signature generation needs NO shuffle at all — the first
+    exchange in the whole minhash pipeline is the (band, sig) bucket key.
+    The previous form aggregated an exploded shingle relation
+    (``groupBy(doc_id)`` with k ``min()``s): map-side combined, but still a
+    full-corpus shuffle that banding never needed."""
+    sha = _shingle_arrays(spark, sf_dir) if shingle_arrays is None else shingle_arrays
+    mh = sha.filter(F.size("sh_arr") > 0).select(
+        "doc_id",
         *[
-            F.min((F.lit(a) * (F.col("sh") % P) + F.lit(b)) % P).alias(f"mh{i}")
+            F.array_min(
+                F.transform(
+                    F.col("sh_arr"),
+                    lambda s: (F.lit(a) * (s % P) + F.lit(b)) % P,
+                )
+            ).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_PARAMS)
-        ]
+        ],
     )
     n_bands = len(MINHASH_PARAMS) // 2
     return mh.select(
@@ -211,24 +243,35 @@ def minhash_bands(spark, sf_dir, sh=None):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH candidate generation + exact-Jaccard verify.
 
-    shingle -> k=8 affine minhashes -> 4 bands of 2 -> bucket-size guard
-    -> bucket join on (band, sig) -> candidate pairs -> exact
-    Jaccard >= 0.5.
+    in-row shingle set -> k=8 in-row affine minhashes -> 4 bands of 2 ->
+    bucket-size guard -> bucket join on (band, sig) -> candidate pairs ->
+    exact Jaccard >= 0.5 over CANDIDATE docs' shingles only.
 
-    Persist policy (deliberately different from simhash's no-persist, see
-    the comment there): the shingle relation feeds FOUR consumers in this
-    one query (minhash agg, per-doc sizes, both sides of the exact-verify
-    join), so recomputing it would rerun the tokenize+window chain 4x.
-    MEMORY_AND_DISK spills to local disk instead of pinning executor
-    memory when the relation outgrows the cache — the biggest-relation
-    objection to a hard cache().  The 10^9-doc alternative — write the
-    signatures once and recompute shingles only for candidate docs via a
-    semi-join — is documented in SCALE.md §9.
+    Shuffle budget (round 4, the shape that matters at 10^9 docs): shingle
+    sets and signatures are pure map-side (``_shingle_arrays`` /
+    ``minhash_bands``), so the only full-corpus exchange left is the 4-row-
+    per-doc (band, sig) key relation.  The exact-verify stage explodes
+    shingles for CANDIDATE docs alone — a semi-join against the (tiny) pair
+    list — so the heaviest relation in the old form (every shingle of every
+    doc, exploded, persisted, shuffled twice) never materializes; this is
+    the "recompute shingles only for candidate docs" scale path SCALE.md §9
+    used to merely document.  Per-doc set sizes are ``size(sh_arr)``, no
+    sizes aggregation.  Persist policy: the per-doc ARRAY relation is
+    persisted once (two consumers — signature generation and the candidate
+    semi-join — would otherwise each rerun the hash chain, the pipeline's
+    dominant map cost); it holds 8-byte hashes packed in arrays, smaller
+    than both the corpus text and the exploded per-shingle rows the
+    round-3 form pinned, and MEMORY_AND_DISK spills rather than pinning
+    executor memory.  The candidate-doc subset ``csh`` is persisted too
+    (bounded by the pair list, not the corpus) for the verify stage's
+    sizes + explode consumers.
     """
     from pyspark import StorageLevel
 
-    sh = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _cap_buckets(minhash_bands(spark, sf_dir, sh=sh), ["band", "s0", "s1"])
+    sha = _shingle_arrays(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _cap_buckets(
+        minhash_bands(spark, sf_dir, shingle_arrays=sha), ["band", "s0", "s1"]
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -242,11 +285,18 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    csh = sha.join(cand_docs, "doc_id", "left_semi").persist()
+    sizes = csh.select("doc_id", F.size("sh_arr").alias("n"))
+    shx = csh.select("doc_id", F.explode("sh_arr").alias("sh"))
     inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(shx.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sh.alias("sb"),
+            shx.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
         )
         .groupBy("doc_a", "doc_b")
