@@ -284,6 +284,10 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # three consumers (both cand_docs branches + the verify join) and
+        # small by construction (bucket-capped pair list), so persist —
+        # otherwise each consumer re-runs the bucket self-join subtree
+        .persist()
     )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))

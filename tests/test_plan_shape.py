@@ -50,6 +50,21 @@ def test_dedup_candidate_joins_are_not_all_pairs(spark):
         assert "BroadcastNestedLoopJoin" not in executed, fn.__name__
 
 
+def test_minhash_signatures_are_map_side(spark):
+    """Scale guard (round 4): minhash signature generation must be pure
+    map work — shingle sets are in-row arrays and the k minhashes are
+    array_min(transform(...)) over them, so the ONLY admissible exchange
+    before the (band, sig) bucket key is the conditional parallelism
+    fan-out repartition. An aggregate or window in this plan means the
+    full-corpus shingle shuffle of rounds 1-3 crept back in."""
+    from ocr_spark.operators.dedup import minhash_bands
+
+    _, executed = _plan(minhash_bands(spark, "/root/testdata/sf0.001"))
+    for node in ("HashAggregate", "SortAggregate", "Window", "Join"):
+        assert node not in executed, (node, executed)
+    assert executed.count("Exchange") <= 1, executed  # fan-out repartition only
+
+
 def test_no_reassembly_means_single_shuffle(spark, tmp_path):
     path = str(tmp_path / "t2.parquet")
     spark.createDataFrame(synth.generate_local(10)).write.parquet(path)
