@@ -105,7 +105,7 @@ def _hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-def _shingle_arrays(spark, sf_dir):
+def _shingle_arrays(spark, sf_dir, docs=None):
     """(doc_id, sh_arr) — each document's DISTINCT 3-word shingle set as an
     in-row array of stable 60-bit hashes, with ZERO shuffles.
 
@@ -126,8 +126,14 @@ def _shingle_arrays(spark, sf_dir):
     corpus has thousands of splits and skips this), fan the raw (doc_id,
     text) out to the session's parallelism first — text is the cheapest
     relation this pipeline could ever shuffle, strictly smaller than the
-    old exploded-shingle exchange it replaces."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old exploded-shingle exchange it replaces.
+
+    ``docs`` overrides the source relation (any (doc_id, text) DataFrame —
+    e.g. the exact-dedup survivors in ``dedup_pipeline``, or the unsigned
+    remainder in ``minhash_bands_incremental``)."""
+    d = (docs if docs is not None else load(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par, "doc_id")
@@ -162,12 +168,15 @@ def _shingles(spark, sf_dir):
     )
 
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(src: str = "documents") -> str:
+    """The shingle CTE over any (doc_id, text) source relation — DuckDB
+    mirror of ``_shingle_arrays(docs=...)``."""
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
          unnest(string_split(text, ' ')) AS w
-  FROM documents
+  FROM {src}
 ), nz AS (
   SELECT * FROM toks WHERE w <> ''
 ), tri AS (
@@ -179,6 +188,9 @@ WITH toks AS (
 SELECT DISTINCT doc_id, {_hash60_sql("w || ' ' || w2 || ' ' || w3")} AS sh
 FROM tri WHERE w3 IS NOT NULL
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def dedup_exact(spark, sf_dir):
@@ -269,9 +281,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     from pyspark import StorageLevel
 
     sha = _shingle_arrays(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _cap_buckets(
-        minhash_bands(spark, sf_dir, shingle_arrays=sha), ["band", "s0", "s1"]
-    )
+    return _minhash_verify_pairs(spark, sha)
+
+
+def _minhash_verify_pairs(spark, sha, bands=None, docs=None):
+    """Banded candidate generation + exact-Jaccard verify over a persisted
+    (doc_id, sh_arr) shingle-array relation — the shared back half of
+    ``dedup_minhash_lsh`` / ``dedup_pipeline`` / ``dedup_minhash_incremental``.
+
+    ``bands`` overrides the signature relation (the incremental path feeds
+    the union of stored and freshly-signed bands); default derives it from
+    ``sha`` map-side.  ``docs`` switches the verify stage's shingle source:
+    instead of semi-joining an existing shingle-array relation, re-shingle
+    ONLY the candidate docs from the raw (doc_id, text) relation — the
+    incremental posture, where no corpus-wide shingle relation exists and
+    the hash chain must run over nothing bigger than the (bucket-bounded)
+    candidate set."""
+    if bands is None:
+        bands = minhash_bands(spark, None, shingle_arrays=sha)
+    bands = _cap_buckets(bands, ["band", "s0", "s1"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -294,7 +322,12 @@ def dedup_minhash_lsh(spark, sf_dir):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    csh = sha.join(cand_docs, "doc_id", "left_semi").persist()
+    if docs is not None:
+        csh = _shingle_arrays(
+            spark, None, docs=docs.join(cand_docs, "doc_id", "left_semi")
+        ).persist()
+    else:
+        csh = sha.join(cand_docs, "doc_id", "left_semi").persist()
     sizes = csh.select("doc_id", F.size("sh_arr").alias("n"))
     shx = csh.select("doc_id", F.explode("sh_arr").alias("sh"))
     inter = (
@@ -322,9 +355,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
-params(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))}),
+# CTE chain from a shingle relation `sh` to verified near-dup `pairs` —
+# shared by DEDUP_MINHASH_SQL and DEDUP_PIPELINE_SQL so the two oracles
+# can never drift apart.
+_MINHASH_PAIR_CTES = f"""params(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))}),
 mh AS (
   SELECT doc_id, i, min((a * (sh % {P}) + b) % {P}) AS mh
   FROM sh CROSS JOIN params GROUP BY doc_id, i
@@ -354,14 +388,131 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT i.doc_a, i.doc_b,
-       round(inter / (na.n + nb.n - inter), 4) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.doc_a
-JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE round(inter / (na.n + nb.n - inter), 4) >= {JACCARD_MIN}
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         round(inter / (na.n + nb.n - inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE round(inter / (na.n + nb.n - inter), 4) >= {JACCARD_MIN}
+)"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+{_MINHASH_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
+
+
+def dedup_pipeline(spark, sf_dir):
+    """Composed production dedup flow, in the order SCALE.md §9 prescribes:
+    **exact dedup first** (hash groupBy removes the identical-text mass
+    that would otherwise blow LSH buckets), then **MinHash-LSH near-dup
+    over the exact survivors only**, with greedy smallest-id-wins
+    resolution.  One row per input document:
+
+        (doc_id, status, keep_doc_id)
+        status 'exact_dup' -> keep_doc_id = min doc_id of its text_hash
+               'near_dup'  -> keep_doc_id = smallest surviving doc with a
+                              verified Jaccard >= 0.5 against it
+               'kept'      -> keep_doc_id = doc_id
+
+    Resolution is the standard single-pass LSH-dedup rule — drop any doc
+    that has a smaller verified near-duplicate — NOT a transitive closure
+    (connected components is an iterative algorithm; the greedy pass is
+    what production text-dedup pipelines run, and it is deterministic and
+    SQL-expressible, so the whole composition keeps a DuckDB oracle).
+
+    Scale shape: the exact stage is one hash groupBy + an equi-join back on
+    the same key (AQE co-partitions); the near-dup stage inherits the full
+    minhash shuffle budget of ``dedup_minhash_lsh`` but over the survivor
+    subset — on a boilerplate-heavy corpus the survivors are a fraction of
+    the input, which is exactly why this order exists."""
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.md5(F.col("text")).alias("h")
+    )
+    hg = d.groupBy("h").agg(F.min("doc_id").alias("keep_exact"))
+    # two consumers (survivor filter + final verdict projection) would each
+    # rerun the scan + groupBy + join; the relation is one row per doc
+    m = d.join(hg, "h").persist()
+    survivors = m.filter(F.col("doc_id") == F.col("keep_exact")).select(
+        "doc_id", "text"
+    )
+    sha = _shingle_arrays(spark, None, docs=survivors).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    near = (
+        _minhash_verify_pairs(spark, sha)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("keep_near"))
+    )
+    return m.join(near, F.col("doc_id") == F.col("doc_b"), "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("keep_exact"), F.lit("exact_dup"))
+        .when(F.col("keep_near").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(F.col("doc_id") != F.col("keep_exact"), F.col("keep_exact"))
+        .when(F.col("keep_near").isNotNull(), F.col("keep_near"))
+        .otherwise(F.col("doc_id"))
+        .alias("keep_doc_id"),
+    )
+
+
+DEDUP_PIPELINE_SQL = f"""
+WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+hg AS (SELECT h, min(doc_id) AS keep_exact FROM d GROUP BY h),
+m AS (SELECT d.doc_id, d.text, d.h, hg.keep_exact FROM d JOIN hg USING (h)),
+docs AS (SELECT doc_id, text FROM m WHERE doc_id = keep_exact),
+sh AS ({_shingles_sql("docs")}),
+{_MINHASH_PAIR_CTES},
+near AS (SELECT doc_b, min(doc_a) AS keep_near FROM pairs GROUP BY doc_b)
+SELECT m.doc_id,
+       CASE WHEN m.doc_id <> m.keep_exact THEN 'exact_dup'
+            WHEN n.keep_near IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN m.doc_id <> m.keep_exact THEN m.keep_exact
+            WHEN n.keep_near IS NOT NULL THEN n.keep_near
+            ELSE m.doc_id END AS keep_doc_id
+FROM m LEFT JOIN near n ON n.doc_b = m.doc_id
+"""
+
+
+def minhash_bands_incremental(spark, docs, signed):
+    """Incremental signing for a growing corpus (the SCALE.md §9
+    refinement): given the raw (doc_id, text) relation and a previously
+    persisted (doc_id, band, s0, s1) signature table, run the shingle +
+    minhash chain — the pipeline's dominant map cost — ONLY for docs the
+    table has not signed yet.
+
+    Returns ``(new_bands, all_bands)``: append ``new_bands`` to the
+    signature table (idempotent by doc_id anti-join), feed ``all_bands``
+    to ``dedup_minhash_incremental``.  Signatures are 4 small rows per doc
+    and a pure function of the text, so the table needs no invalidation —
+    re-signing an unchanged doc is the only thing the anti-join prevents."""
+    new_docs = docs.join(
+        signed.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    new_bands = minhash_bands(
+        spark, None, shingle_arrays=_shingle_arrays(spark, None, docs=new_docs)
+    )
+    return new_bands, signed.select("doc_id", "band", "s0", "s1").unionByName(
+        new_bands
+    )
+
+
+def dedup_minhash_incremental(spark, docs, signed):
+    """``dedup_minhash_lsh`` for a growing corpus: signatures come from the
+    persisted table plus a fresh signing pass over unsigned docs only
+    (``minhash_bands_incremental``), and the verify stage re-shingles
+    nothing bigger than the candidate set (no corpus-wide shingle relation
+    ever materializes).  Result is identical to a full recompute over
+    ``docs`` — pinned by tests/test_incremental.py."""
+    _, all_bands = minhash_bands_incremental(spark, docs, signed)
+    return _minhash_verify_pairs(spark, None, bands=all_bands, docs=docs)
 
 
 N_SEGMENTS = HAMMING_MAX + 1  # pigeonhole: Hamming<=3 => >=1 of 4 segments equal
@@ -663,6 +814,7 @@ QUERIES = {
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMB_LSH_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_pipeline": (dedup_pipeline, DEDUP_PIPELINE_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
 }

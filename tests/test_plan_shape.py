@@ -59,6 +59,10 @@ def test_minhash_signatures_are_map_side(spark):
     full-corpus shingle shuffle of rounds 1-3 crept back in."""
     from ocr_spark.operators.dedup import minhash_bands
 
+    # cached relations from earlier tests substitute into this plan as
+    # InMemoryRelations that PRINT their cached subplan's nodes — assert
+    # over the genuinely compiled shape, not session cache state
+    spark.catalog.clearCache()
     _, executed = _plan(minhash_bands(spark, "/root/testdata/sf0.001"))
     for node in ("HashAggregate", "SortAggregate", "Window", "Join"):
         assert node not in executed, (node, executed)
