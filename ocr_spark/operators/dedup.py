@@ -481,6 +481,123 @@ FROM m LEFT JOIN near n ON n.doc_b = m.doc_id
 """
 
 
+CC_ROUNDS = 8  # fixed label-propagation rounds for the oracle-checked query
+
+
+def connected_components(edges, rounds: int | None = None):
+    """Connected components over an undirected (doc_a, doc_b) edge relation
+    by iterative min-label propagation: every node starts labeled with its
+    own id, and each round takes the min of its label and its neighbors'
+    labels.  After ``d`` rounds every component of diameter <= d carries
+    its minimum member id as the label.
+
+    ``rounds=None`` iterates to convergence (one driver-side changed-count
+    per round — the honest fixpoint for library use); an int runs exactly
+    that many rounds, which is what the oracle-checked ``dedup_clusters``
+    query uses so the DuckDB side can unroll the identical computation.
+
+    Scale notes: each round is one groupBy(min) + one equi-join, both on
+    doc_id — AQE co-partitions them, so a round costs ~2 exchanges over the
+    label relation (nodes, not edges, after the first neighbor join).
+    ``localCheckpoint`` truncates lineage every round; without it the plan
+    doubles per iteration and the optimizer chokes by round ~10 (the
+    classic iterative-DataFrame trap).  Min-propagation needs O(diameter)
+    rounds; for 10^9-edge graphs with long chains the production
+    refinement is the alternating large-star/small-star algorithm
+    (O(log^2 n) rounds, same per-round operator set), which plugs into
+    this loop without changing the output contract."""
+    pairs = edges.select("doc_a", "doc_b")
+    und = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    max_rounds = rounds if rounds is not None else 1_000_000
+    for _ in range(max_rounds):
+        nbr = (
+            und.join(labels, und["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        if rounds is None:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: connected components over the verified
+    MinHash-LSH pair graph (``dedup_minhash_lsh``), labeling every paired
+    doc with its component's minimum doc_id.  The greedy per-pair rule in
+    ``dedup_pipeline`` resolves chains only one hop; this is the full
+    closure — the canonical "keep one per duplicate CLUSTER" contract.
+
+    Runs exactly ``CC_ROUNDS`` propagation rounds so the DuckDB oracle can
+    unroll the identical computation; 8 rounds covers component diameters
+    far beyond anything a near-dup graph at the checked scale produces
+    (tests assert the fixed-round result equals the convergence loop's)."""
+    return connected_components(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        rounds=CC_ROUNDS,
+    )
+
+
+def _cc_sql() -> str:
+    # every l{k} references l{k-1} twice and und once; DuckDB inlines
+    # (re-evaluates) plain CTEs per reference, which would make l8 expand
+    # the whole minhash chain 2^8 times — MATERIALIZED pins each round to
+    # one evaluation, exactly like the Spark side's localCheckpoint
+    rounds = []
+    for k in range(1, CC_ROUNDS + 1):
+        prev = f"l{k - 1}"
+        rounds.append(f"""l{k} AS MATERIALIZED (
+  SELECT l.doc_id, LEAST(l.label, COALESCE(m.nbr, l.label)) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT e.u AS doc_id, min(l2.label) AS nbr
+    FROM und e JOIN {prev} l2 ON l2.doc_id = e.v GROUP BY e.u
+  ) m USING (doc_id)
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH sh AS MATERIALIZED ({_SHINGLES_SQL}),
+{_MINHASH_PAIR_CTES},
+und AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS doc_id, u AS label FROM und),
+{rounds_sql}
+SELECT doc_id, label AS cluster_rep FROM l{CC_ROUNDS}
+"""
+
+
+DEDUP_CLUSTERS_SQL = _cc_sql()
+
+
 def minhash_bands_incremental(spark, docs, signed):
     """Incremental signing for a growing corpus (the SCALE.md §9
     refinement): given the raw (doc_id, text) relation and a previously
@@ -815,6 +932,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_pipeline": (dedup_pipeline, DEDUP_PIPELINE_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
 }
