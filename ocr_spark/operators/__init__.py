@@ -68,9 +68,12 @@ DRIVER_WINDOW = [
     "c18_c20_box_algebra",
     # extras
     "f6_lexicon_gate", "e4_levenshtein_anti", "c13_fuzzy_marker_split",
-    # dedup (all)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    # dedup (family breadth: exact, minhash-LSH, the composed exact->LSH
+    # production flow, simhash, and both embedding variants get the
+    # external stamp; the bounded ngram-Jaccard exactness baseline and the
+    # iterative dedup_clusters stay on the check_oracle.py gate)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
     # similarity (all)
     "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_flat",
     # textstats (all)
