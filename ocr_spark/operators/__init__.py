@@ -81,9 +81,10 @@ DRIVER_WINDOW = [
     "doc_fingerprint", "doc_winnowing",
     # multimodal
     "mm_metadata_stats", "mm_frame_sample",
-    # transcripts (the extraction flow itself: one oracle-green aggregate
-    # stamp over the full pipeline + one rows-only block-language relation)
-    "extract_status_counts", "extract_bilingual",
+    # transcripts (the extraction flow itself: two oracle-green aggregate
+    # stamps — full-pipeline status histogram + bilingual-split language
+    # histogram; the long-form relations stay on the check_oracle.py gate)
+    "extract_status_counts", "extract_bilingual_counts",
 ]
 
 ALL: dict = {}

@@ -234,8 +234,36 @@ def extract_bilingual(spark, sf_dir):
     )
 
 
+def extract_bilingual_counts(spark, sf_dir):
+    """Oracle-CHECKABLE projection of the bilingual split path (the same
+    pinned-literal pattern as extract_status_counts): per-language block
+    histogram, distinct-turn count, and char mass over the deterministic
+    60-conv corpus.  A kernel change that alters the bilingual duplicate
+    split (kernel/bilingual.py) or the marker vote now fails the driver's
+    cross-engine value-hash — previously this path carried only a
+    rows-only stamp."""
+    return extract_bilingual(spark, sf_dir).groupBy("language").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.countDistinct("conv_id", "turn_idx").cast("bigint").alias("n_turns"),
+        F.sum(F.length("block_text")).cast("bigint").alias("sum_chars"),
+    )
+
+
+# pinned constants, derived from the pandas oracle mirror (oracle_extract +
+# the same block split / marker vote); re-derive after an intentional
+# kernel/corpus change with `extract_bilingual_counts(spark, None).toPandas()`
+EXTRACT_BILINGUAL_SQL = """
+SELECT * FROM (VALUES
+  ('en',  CAST(104 AS BIGINT), CAST(90 AS BIGINT),  CAST(7084 AS BIGINT)),
+  ('fr',  CAST(18 AS BIGINT),  CAST(18 AS BIGINT),  CAST(857 AS BIGINT)),
+  ('und', CAST(378 AS BIGINT), CAST(226 AS BIGINT), CAST(44447 AS BIGINT))
+) AS t(language, n_blocks, n_turns, sum_chars)
+"""
+
+
 QUERIES = {
     "extract_status_counts": (extract_status_counts, EXTRACT_STATUS_SQL),
+    "extract_bilingual_counts": (extract_bilingual_counts, EXTRACT_BILINGUAL_SQL),
     "extract_pipeline": (extract_pipeline, None),
     "extract_fields_long": (extract_fields_long, None),
     "extract_spans_typed": (extract_spans_typed, None),
