@@ -876,7 +876,7 @@ def _hist_float(s: str) -> float | None:
         return None
 
 
-def _history_summary() -> dict | None:
+def _history_summary(path: str | None = None) -> dict | None:
     """Cross-window steady state from BENCH.md's append-only run-history
     tables (post-FIX_CUTOFF rows only; contaminated rows excluded).
 
@@ -888,7 +888,7 @@ def _history_summary() -> dict | None:
     (BENCH.md is rewritten before this is computed)."""
     import statistics
 
-    path = os.path.join(REPO, "BENCH.md")
+    path = path or os.path.join(REPO, "BENCH.md")
     if not os.path.exists(path):
         return None
     ext_rows: list[list[str]] = []
