@@ -199,6 +199,38 @@ def extract_enriched(spark, sf_dir):
     )
 
 
+def extract_enriched_counts(spark, sf_dir):
+    """Oracle-CHECKABLE projection of the enrichment path (the third
+    pinned-literal stamp, after extract_status_counts and
+    extract_bilingual_counts): per-(status, language) histogram with
+    correction and char totals over the deterministic 60-conv corpus.  A
+    change to the lexicon correction (levenshtein<=2 unique-best), the
+    language vote, or the kernel text they run over now fails the
+    cross-engine value-hash in check_oracle.py — previously this path had
+    only a rows-only stamp plus tests/test_enrich.py unit semantics."""
+    return extract_enriched(spark, sf_dir).groupBy("status", "language").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum("n_corrections").cast("bigint").alias("sum_corrections"),
+        F.sum(F.length("corrected_text")).cast("bigint").alias("sum_chars"),
+    )
+
+
+# pinned constants — unlike EXTRACT_STATUS_SQL (derived from the pandas
+# oracle mirror), these are a regression PIN captured from the checked
+# implementation (enrichment is Spark-expressed; its semantics are
+# independently pinned by tests/test_enrich.py's hand-computed cases);
+# re-derive after an intentional kernel/lexicon change with
+# `extract_enriched_counts(spark, None).toPandas()`
+EXTRACT_ENRICHED_SQL = """
+SELECT * FROM (VALUES
+  ('empty',    'und', CAST(8 AS BIGINT),   CAST(0 AS BIGINT),  CAST(0 AS BIGINT)),
+  ('ok',       'en',  CAST(90 AS BIGINT),  CAST(74 AS BIGINT), CAST(9325 AS BIGINT)),
+  ('ok',       'und', CAST(168 AS BIGINT), CAST(90 AS BIGINT), CAST(43269 AS BIGINT)),
+  ('rejected', 'und', CAST(17 AS BIGINT),  CAST(0 AS BIGINT),  CAST(0 AS BIGINT))
+) AS t(status, language, n_turns, sum_corrections, sum_chars)
+"""
+
+
 def extract_bilingual(spark, sf_dir):
     """Per-block language relation over the extraction output — the
     downstream consumer of the kernel's bilingual duplicate split
@@ -269,5 +301,6 @@ QUERIES = {
     "extract_spans_typed": (extract_spans_typed, None),
     "extract_lineage": (extract_lineage, None),
     "extract_enriched": (extract_enriched, None),
+    "extract_enriched_counts": (extract_enriched_counts, EXTRACT_ENRICHED_SQL),
     "extract_bilingual": (extract_bilingual, None),
 }
