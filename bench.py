@@ -657,6 +657,14 @@ def _write_bench_md(result: dict) -> None:
     lines = [
         "# BENCH — latest local measurements",
         "",
+        "Every number on this page is ONE sample of a host whose CPU-steal",
+        "swings wall times ±30-40% (occasionally 2-3x, in minutes-long",
+        "collapse windows — CLAUDE.md, SCALE.md §7).  Read each figure",
+        "against the append-only run-history tables below (also summarized",
+        "as the `history` block in bench.py's printed JSON): the",
+        "cross-window median/best is the representative number, never the",
+        "latest single run.",
+        "",
         f"Headline operator suite at sf={result['sf']} "
         f"(`local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]`): "
         f"**{result['value']} s** total.",
