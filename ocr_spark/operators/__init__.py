@@ -45,29 +45,42 @@ from ocr_spark.operators import (
 # flow included rather than 50 near-neighbors from the relational families.
 # The remaining queries (ordered after the window, module order) are
 # validated by the same oracles via `python scripts/check_oracle.py`.
+#
+# ROTATION (round 5, per the round-4 verdict): ~10 slots swap each round so
+# every operator family gets periodic external stamps instead of a frozen
+# curation.  Rotated OUT this round (all driver-green in r2-r4, now on the
+# check_oracle.py gate): f11_null_guard, j7_anti_join,
+# a4_countdistinct_collapse, w6_footer_truncation, c9_numeric_extract,
+# e1_union_distinct, e5_distinct, a2_bounding_region, t3_argmax_by_length,
+# c18_c20_box_algebra, mm_frame_sample.  Rotated IN (previously
+# check_oracle-only): f3, f4, j3, j4, a3, a5, w7, w11, t2, c12, plus
+# extract_enriched_counts (promoting the enrichment path — J2 lexicon
+# correction + A6 language vote over kernel output — to a per-round
+# external value stamp).
 DRIVER_WINDOW = [
     # relational
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     # filters
-    "f1_blank_filter", "f5_doc_gate", "f11_null_guard",
+    "f1_blank_filter", "f3_minlen_filter", "f5_doc_gate",
     # joins
-    "j1_dim_lookup", "j2_fuzzy_unique_best", "j5_merge_passes",
-    "j6_range_join", "j7_anti_join",
+    "j1_dim_lookup", "j2_fuzzy_unique_best", "j3_sliding_phrase",
+    "j4_interval_same_line", "j5_merge_passes", "j6_range_join",
     # aggregates
-    "a1_conflict_first", "a4_countdistinct_collapse", "a8_distribution_stats",
-    "a11_second_pass_gate",
+    "a1_conflict_first", "a3_median", "a5_cooccurrence_having",
+    "a8_distribution_stats", "a11_second_pass_gate",
     # windows
-    "w1_sessionize", "w2_reading_order", "w6_footer_truncation",
+    "w1_sessionize", "w2_reading_order", "w7_block_truncation",
+    "w11_positional_cascade", "t2_top1_unique_best",
     # strings
-    "c4_c5_confusion_fix", "c9_numeric_extract", "c22_json_extract",
+    "c4_c5_confusion_fix", "c12_normalize_chain", "c22_json_extract",
     "upc_assembly",
     # sets
-    "e1_union_distinct", "e2_except", "e5_distinct",
+    "e2_except",
     # spatial
-    "f2_directional_filter", "a2_bounding_region", "t3_argmax_by_length",
-    "c18_c20_box_algebra",
+    "f2_directional_filter",
     # extras
-    "f6_lexicon_gate", "e4_levenshtein_anti", "c13_fuzzy_marker_split",
+    "f4_drop_list", "f6_lexicon_gate", "e4_levenshtein_anti",
+    "c13_fuzzy_marker_split",
     # dedup (family breadth: exact, minhash-LSH, the composed exact->LSH
     # production flow, simhash, and both embedding variants get the
     # external stamp; the bounded ngram-Jaccard exactness baseline and the
@@ -80,11 +93,13 @@ DRIVER_WINDOW = [
     "lang_id_heuristic", "quality_score", "token_count",
     "doc_fingerprint", "doc_winnowing",
     # multimodal
-    "mm_metadata_stats", "mm_frame_sample",
-    # transcripts (the extraction flow itself: two oracle-green aggregate
-    # stamps — full-pipeline status histogram + bilingual-split language
-    # histogram; the long-form relations stay on the check_oracle.py gate)
+    "mm_metadata_stats",
+    # transcripts (the extraction flow itself: three oracle-checked
+    # aggregate stamps — full-pipeline status histogram, bilingual-split
+    # language histogram, and the enrichment-path counts; the long-form
+    # relations stay on the check_oracle.py gate)
     "extract_status_counts", "extract_bilingual_counts",
+    "extract_enriched_counts",
 ]
 
 ALL: dict = {}
