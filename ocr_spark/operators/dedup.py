@@ -299,6 +299,9 @@ def _minhash_verify_pairs(spark, sha, bands=None, docs=None):
     candidate set."""
     if bands is None:
         bands = minhash_bands(spark, None, shingle_arrays=sha)
+    # incremental signature tables carry band=-1 sentinel rows for
+    # shingle-less docs (signed-set bookkeeping only) — never join keys
+    bands = bands.filter(F.col("band") >= 0)
     bands = _cap_buckets(bands, ["band", "s0", "s1"])
     a = bands.alias("a")
     b = bands.alias("b")
@@ -484,7 +487,8 @@ FROM m LEFT JOIN near n ON n.doc_b = m.doc_id
 CC_ROUNDS = 8  # fixed label-propagation rounds for the oracle-checked query
 
 
-def connected_components(edges, rounds: int | None = None):
+def connected_components(edges, rounds: int | None = None,
+                         verify_converged: bool = False):
     """Connected components over an undirected (doc_a, doc_b) edge relation
     by iterative min-label propagation: every node starts labeled with its
     own id, and each round takes the min of its label and its neighbors'
@@ -504,8 +508,14 @@ def connected_components(edges, rounds: int | None = None):
     classic iterative-DataFrame trap).  Min-propagation needs O(diameter)
     rounds; for 10^9-edge graphs with long chains the production
     refinement is the alternating large-star/small-star algorithm
-    (O(log^2 n) rounds, same per-round operator set), which plugs into
-    this loop without changing the output contract."""
+    (O(log^2 n) rounds, same per-round operator set) — implemented as
+    :func:`connected_components_star` with the same output contract.
+
+    ``verify_converged=True`` (with fixed ``rounds``) runs ONE extra
+    propagation round and raises if any label still moves — the cheap
+    post-check for the silent under-merge a component of diameter >
+    ``rounds`` would cause (the DuckDB oracle unrolls the identical
+    rounds, so the cross-engine gate alone cannot catch it)."""
     pairs = edges.select("doc_a", "doc_b")
     und = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -545,7 +555,118 @@ def connected_components(edges, rounds: int | None = None):
                 break
         else:
             labels = new_labels
+    if verify_converged and rounds is not None:
+        nbr = (
+            und.join(labels, und["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        moved = (
+            labels.join(nbr, labels["doc_id"] == nbr["doc_a"])
+            .filter(F.col("nbr_min") < F.col("label"))
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                f"connected_components: {moved} labels still moving after "
+                f"{rounds} fixed rounds — a component has diameter > rounds; "
+                "raise rounds or use connected_components_star"
+            )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def connected_components_star(edges, max_rounds: int = 64):
+    """Connected components by alternating large-star / small-star edge
+    rewrites (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the O(log^2 n)-round production form for graphs whose
+    component diameter makes per-hop min-label propagation
+    (:func:`connected_components`) too many rounds at 10^9-edge scale
+    (SCALE.md §9).  Same output contract: (doc_id, cluster_rep) with
+    cluster_rep = the component's minimum doc_id, for every node that
+    appears in ``edges``.
+
+    Per round, each node u with neighborhood Γ(u) and
+    m(u) = min(Γ(u) ∪ {u}):
+
+    - large-star rewires every STRICTLY LARGER neighbor to m(u):
+      emit (v, m(u)) for v ∈ Γ(u), v > u;
+    - small-star rewires every smaller-or-equal neighbor (and u itself)
+      to m(u): emit (v, m(u)) for v ∈ Γ(u) ∪ {u}, v <= u.
+
+    Both are one groupBy(min) + one equi-join on the node key — the same
+    per-round operator set (and the same AQE co-partitioning) as min-label
+    propagation, but the rewires hop edges toward component minima
+    GEOMETRICALLY instead of one hop per round.  At convergence the edge
+    set is a union of stars rooted at each component's minimum, so labels
+    read off as min over neighbors.  ``localCheckpoint`` per half-round
+    truncates lineage (the iterative-DataFrame plan-doubling trap).
+    Convergence test is a driver-side set-difference count per round on
+    the star-shaped (distinct) edge relation.
+    """
+    raw = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # node set from the RAW relation: a self-loop row contributes its node
+    # (as a singleton component) even though the loop edge itself is dropped
+    nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
+        .localCheckpoint()
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(d):
+        return d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(d):
+        und = _sym(d)
+        m = und.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        return (
+            und.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(d):
+        # orient toward the smaller endpoint: per node u, its <=-neighbors
+        und = _sym(d).filter(F.col("v") <= F.col("u"))
+        m = und.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            und.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        e_next = _small_star(_large_star(e).localCheckpoint()).localCheckpoint()
+        # set equality via two-sided difference on the distinct relations
+        changed = e_next.exceptAll(e).count() + e.exceptAll(e_next).count()
+        e = e_next
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds (expected O(log^2 n))"
+        )
+    labels = (
+        nodes.join(
+            _sym(e).groupBy("u").agg(F.min("v").alias("m")), "u", "left"
+        )
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.coalesce(F.col("m"), F.col("u"))).alias(
+                "cluster_rep"
+            ),
+        )
+    )
+    return labels
 
 
 def dedup_clusters(spark, sf_dir):
@@ -609,13 +730,33 @@ def minhash_bands_incremental(spark, docs, signed):
     signature table (idempotent by doc_id anti-join), feed ``all_bands``
     to ``dedup_minhash_incremental``.  Signatures are 4 small rows per doc
     and a pure function of the text, so the table needs no invalidation —
-    re-signing an unchanged doc is the only thing the anti-join prevents."""
+    re-signing an unchanged doc is the only thing the anti-join prevents.
+
+    Docs too short to shingle (< 3 tokens — no band rows) get ONE sentinel
+    row ``(doc_id, band=-1, s0=NULL, s1=NULL)`` so they land in the signed
+    set too: without it the anti-join re-ran the shingle pass over the
+    entire short-doc tail on EVERY incremental run (round-4 ADVICE).
+    Sentinels can never produce candidates (the bucket join is an equality
+    on (band, s0, s1), and ``_minhash_verify_pairs`` drops ``band < 0``
+    rows before the guard/join anyway) — they are signed-set bookkeeping
+    only, so full-recompute equality is unchanged.
+
+    Assumed corpus contract (SCALE.md §9): APPEND-ONLY with immutable
+    text per doc_id.  A mutated doc would keep its stale signature —
+    callers that edit documents must delete those doc_ids from the
+    signature table first."""
     new_docs = docs.join(
         signed.select("doc_id").distinct(), "doc_id", "left_anti"
     )
-    new_bands = minhash_bands(
-        spark, None, shingle_arrays=_shingle_arrays(spark, None, docs=new_docs)
+    sha_new = _shingle_arrays(spark, None, docs=new_docs)
+    new_bands = minhash_bands(spark, None, shingle_arrays=sha_new)
+    sentinels = sha_new.filter(F.size("sh_arr") == 0).select(
+        "doc_id",
+        F.lit(-1).alias("band"),
+        F.lit(None).cast("bigint").alias("s0"),
+        F.lit(None).cast("bigint").alias("s1"),
     )
+    new_bands = new_bands.unionByName(sentinels)
     return new_bands, signed.select("doc_id", "band", "s0", "s1").unionByName(
         new_bands
     )

@@ -215,12 +215,14 @@ def extract_enriched_counts(spark, sf_dir):
     )
 
 
-# pinned constants — unlike EXTRACT_STATUS_SQL (derived from the pandas
-# oracle mirror), these are a regression PIN captured from the checked
-# implementation (enrichment is Spark-expressed; its semantics are
-# independently pinned by tests/test_enrich.py's hand-computed cases);
-# re-derive after an intentional kernel/lexicon change with
-# `extract_enriched_counts(spark, None).toPandas()`
+# pinned constants, DERIVED from the pandas oracle mirror (round 5):
+# oracle_extract -> oracle.oracle_enrich (a zero-Spark reimplementation of
+# the correction + vote) over the same deterministic 60-conv corpus
+# reproduces this literal table —
+# tests/test_enrich.py::test_enriched_counts_pin_derives_from_oracle_mirror
+# re-derives it on every run, so the pin is independent ground truth, not
+# an implementation capture.  After an intentional kernel/lexicon change,
+# re-derive with that test's oracle chain (NOT the Spark query).
 EXTRACT_ENRICHED_SQL = """
 SELECT * FROM (VALUES
   ('empty',    'und', CAST(8 AS BIGINT),   CAST(0 AS BIGINT),  CAST(0 AS BIGINT)),

@@ -66,17 +66,41 @@ def test_incremental_signs_only_unsigned_docs(spark, tmp_path):
 
     new_bands, all_bands = dedup.minhash_bands_incremental(spark, docs, signed)
     new_ids = {r.doc_id for r in new_bands.select("doc_id").distinct().collect()}
-    # docs with < 3 tokens have no shingles and never get signatures
-    assert new_ids <= batch2_ids
-    assert new_ids == {
-        r.doc_id
-        for r in dedup.minhash_bands(spark, SF_DIR)
-        .select("doc_id")
-        .distinct()
-        .collect()
-        if r.doc_id in batch2_ids
-    }
+    # every unsigned doc gets rows now — real bands, or the band=-1
+    # sentinel for docs with < 3 tokens (no shingles)
+    assert new_ids == batch2_ids
 
     # idempotence: with every doc signed, a second pass signs nothing
     new2, _ = dedup.minhash_bands_incremental(spark, docs, all_bands)
     assert new2.count() == 0
+
+
+def test_incremental_short_docs_get_sentinels_not_rework(spark, tmp_path):
+    # the round-4 ADVICE regression: docs too short to shingle previously
+    # produced no signature rows, so EVERY incremental run re-ran the
+    # shingle pass over the whole short-doc tail.  Now they get one
+    # (band=-1, NULL, NULL) sentinel row, join nothing, and the second
+    # pass is a true no-op — while pair results still match the full
+    # recompute on the same corpus.
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame(
+            [(900001, "tiny"), (900002, "two words"), (900003, "")],
+            "doc_id long, text string",
+        )
+    )
+    empty_sigs = spark.createDataFrame(
+        [], "doc_id long, band int, s0 long, s1 long"
+    )
+    new_bands, all_bands = dedup.minhash_bands_incremental(spark, docs, empty_sigs)
+    sent = {
+        r.doc_id
+        for r in new_bands.filter(F.col("band") < 0).select("doc_id").collect()
+    }
+    assert sent == {900001, 900002, 900003}
+
+    new2, _ = dedup.minhash_bands_incremental(spark, docs, all_bands)
+    assert new2.count() == 0  # short docs no longer re-signed every run
+
+    incremental = dedup.dedup_minhash_incremental(spark, docs, all_bands)
+    full = dedup.dedup_minhash_lsh(spark, SF_DIR)
+    assert _rows(incremental) == _rows(full)
