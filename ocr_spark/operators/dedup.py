@@ -686,6 +686,21 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+def dedup_clusters_star(spark, sf_dir):
+    """``dedup_clusters`` computed by the production O(log^2 n)
+    large-star/small-star form (:func:`connected_components_star`) instead
+    of fixed-round min-label propagation.  Connected components are
+    algorithm-independent, so it shares ``DEDUP_CLUSTERS_SQL`` — the
+    unrolled min-label oracle is exact whenever component diameters fit
+    its rounds (they do at the checked scale, asserted by
+    ``verify_converged`` in tests/test_clusters.py), which gives the star
+    algorithm its own cross-engine value stamp rather than only the
+    fixture-level union-find pin."""
+    return connected_components_star(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
 def _cc_sql() -> str:
     # every l{k} references l{k-1} twice and und once; DuckDB inlines
     # (re-evaluates) plain CTEs per reference, which would make l8 expand
@@ -1074,6 +1089,7 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_pipeline": (dedup_pipeline, DEDUP_PIPELINE_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
 }
