@@ -614,8 +614,13 @@ def main() -> None:
     do_scaling = "--no-scaling" not in sys.argv
 
     if "--scaling-only" in sys.argv:
-        ex = run_scaling(cpus)
-        _append_history_row(ex)
+        try:
+            ex = run_scaling(cpus)
+        except Exception as exc:  # the one-line contract wins
+            sys.stderr.write(f"run_scaling failed: {exc}\n")
+            ex = {"error": str(exc)[:200]}
+        if "error" not in ex:
+            _append_history_row(ex)
         payload = {
             "metric": "extraction scaling only (history row appended)",
             "value": ex.get("scaling_efficiency"),
@@ -639,7 +644,13 @@ def main() -> None:
     # pair took a single rep (the round-5 first run got 2 of 4 reps and no
     # rescue headroom).  The headline suite is short (~20-45 s) and not
     # deadline-gated, so total worst-case wall is unchanged.
-    extraction = run_scaling(cpus) if do_scaling else None
+    extraction = None
+    if do_scaling:
+        try:
+            extraction = run_scaling(cpus)
+        except Exception as exc:  # bench must ALWAYS print its one JSON line
+            sys.stderr.write(f"run_scaling failed: {exc}\n")
+            extraction = {"error": str(exc)[:200]}
 
     import __spark_entry__ as entrymod
 
