@@ -1222,6 +1222,16 @@ def _pair_lines(ex: dict, title: str) -> list[str]:
             f"{ctl['efficiency']} — **Spark efficiency normalized to hardware: "
             f"{ex.get('normalized_efficiency', 'n/a')}**",
         ]
+    if ex.get("collapsed"):
+        pre = (ex.get("pre_rescue") or {}).get("normalized_efficiency", "n/a")
+        lines += [
+            "",
+            "**This pair is labeled COLLAPSED**: normalized efficiency stayed "
+            "< 0.5 after the backoff rescue rep (pre-rescue normalized "
+            f"{pre}; rescue_reps {ex.get('rescue_reps', 0)}).  Read it against "
+            "the control rows above (machine-wide evidence) and the run "
+            "history table — not as the steady state.",
+        ]
     return lines
 
 
