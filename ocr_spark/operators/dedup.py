@@ -608,11 +608,15 @@ def connected_components_star(edges, max_rounds: int = 64,
     - ``"exact"`` (default): two-sided ``exceptAll`` set difference —
       deterministic, but 2 extra full-relation shuffles per round;
     - ``"checksum"``: compare (row count, order-insensitive sum of
-      ``hash(u, v)``) — one map-side-combined aggregate per relation, no
-      extra shuffle of the edges themselves.  A false "converged" needs a
-      changed edge set whose count AND 64-bit hash sum both collide
-      (~2^-64 per round); the scale mode for 10^9-edge graphs, while the
-      oracle-checked query path keeps the exact mode.
+      32-bit ``hash(u, v)`` values in a 64-bit accumulator — 32-bit terms
+      so the sum cannot overflow under ANSI semantics below ~2^32 edges)
+      — one map-side-combined aggregate per relation, no extra shuffle of
+      the edges themselves.  A false "converged" needs a changed edge set
+      whose count AND hash sum both collide in the same round (≲2^-32 per
+      round) and WOULD stop on a non-star edge set, i.e. this mode trades
+      a one-in-four-billion-per-round mislabel risk for removing 2 of the
+      ~6 per-round shuffles; the scale mode for 10^9-edge graphs, while
+      the oracle-checked query path keeps the exact mode.
     """
     if convergence not in ("exact", "checksum"):
         raise ValueError(f"convergence must be exact|checksum, got {convergence!r}")
